@@ -1,0 +1,774 @@
+"""Simulation engine: configuration -> power spectra -> Monte Carlo run.
+
+TPU-native rebuild of the reference ``Fast`` class (``fast/fast.py:20-812``).
+The structure is deliberately different from the reference's mutable
+init-method chain:
+
+* **Host stage** (numpy, float64): config resolution ('auto' grid rules,
+  ``fast/fast.py:147-227``), atmosphere/beam geometry, pupils and launch
+  modes, fibre-mode optimisation, link budget. Everything here is static
+  per configuration.
+* **PSD stage** (jnp, float64, pinned to the CPU backend): assembly of the
+  residual-phase and log-amplitude power spectra — runs once per config,
+  needs double precision for the ~1e-6 parity target, and is never hot.
+* **Device stage** (jit, float32/complex64 by default): the Monte Carlo
+  loop — batched colored-noise synthesis, centered inverse FFTs, pupil
+  overlap reduction — one compiled program per chunk shape. The reference's
+  serial chunk loop with preallocated numpy buffers and optional pyFFTW
+  (``fast/fast.py:115-140,419-443``) maps onto XLA's batched FFT; the
+  ``FFTW``/``FFTW_THREADS`` config keys are accepted and ignored.
+
+Known reference quirks consciously fixed (SURVEY.md §7): wind direction is
+reduced mod 360 (not 380, ``fast/fast.py:250``); the temporal no-wrap pixel
+bound uses the resolved ``dx`` (the reference reads the raw ``DX`` config
+value, which crashes for ``DX='auto'``, ``fast/fast.py:183``).
+"""
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import conf
+from .grids import SpatialFrequencies
+from .models import ao as ao_spectra
+from .models import atmosphere
+from .models.scintillation import PupilFilterSampler, logamp_powerspec
+from .ops import apertures
+from .ops.fourier import ft2, ift2
+from .ops.integrate import integrate_path, integrate_powerspectrum
+from .ops.rng import make_key
+from . import synthesis
+from .utils import fits
+from .utils.log import init_logging
+
+logger = logging.getLogger(__name__)
+
+
+def _cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover
+        return None
+
+
+def l_path(h_sat, zeta):
+    """Spherical-Earth slant range from altitude and zenith angle [m]."""
+    r_earth = 6.371009e6
+    zeta = np.radians(zeta)
+    b = -2 * r_earth * np.cos(np.pi - zeta)
+    c = r_earth ** 2 - (r_earth + h_sat) ** 2
+    r1 = (-b + np.sqrt(b ** 2 - 4 * c)) / 2
+    r2 = (-b - np.sqrt(b ** 2 - 4 * c)) / 2
+    return r1 if r1 >= 0 else r2
+
+
+def calculate_wind_correction(h, theta_loop, Tloop):
+    """Apparent per-layer wind induced by satellite slew over one loop."""
+    return -np.array([
+        np.sin(np.radians(theta_loop[0] / 3600)) * h / Tloop,
+        np.sin(np.radians(theta_loop[1] / 3600)) * h / Tloop,
+    ]).T
+
+
+class Fast:
+    """FAST simulation object.
+
+    Same user-facing contract as the reference: construct with a config
+    dict or ``.py`` file path; construction precomputes the link budget and
+    all power spectra; ``run()`` draws the Monte Carlo realizations and
+    returns a :class:`FastResult`.
+    """
+
+    def __init__(self, params):
+        self.conf = conf.ConfigParser(params)
+        self.params = self.conf.config
+
+        self.Niter = self.params["NITER"]
+        self.Nchunks = self.params["NCHUNKS"]
+        self.seed = self.params["SEED"]
+        self.temporal = self.params["TEMPORAL"]
+        self.dt = self.params["DT"]
+
+        if self.Niter % self.Nchunks != 0:
+            raise Exception("NCHUNKS must divide NITER without remainder")
+        self.Niter_per_chunk = self.Niter // self.Nchunks
+        if (self.Niter_per_chunk % 2 != 0) and not self.temporal:
+            raise Exception("NITER/NCHUNKS must be even number")
+
+        self.dtype = jnp.dtype(self.params["DTYPE"])
+        self._cpu = _cpu_device()
+
+        self.init_logging()
+
+        # host + PSD stages run in float64 on CPU
+        ctx = jax.default_device(self._cpu) if self._cpu else _nullcontext()
+        with ctx:
+            self.init_atmos()
+            self.init_beam_params()
+            self.init_frequency_grid()
+            self.init_ao_params()
+            self.init_pupil_mask()
+            self.compute_link_budget()
+            self.compute_powerspec()
+
+        self._prepare_device_constants()
+
+    # ------------------------------------------------------------------
+    # initialisation pipeline
+    # ------------------------------------------------------------------
+
+    def init_logging(self):
+        init_logging(self.params["LOGFILE"], self.params["LOGLEVEL"])
+
+    def init_atmos(self):
+        logger.info("Initialising atmosphere")
+        p = self.params
+
+        self.zenith_correction = self.calc_zenith_correction(p["ZENITH_ANGLE"])
+        self.h = np.asarray(p["H_TURB"], dtype=float) * self.zenith_correction
+        self.cn2 = np.asarray(p["CN2_TURB"], dtype=float) * self.zenith_correction
+
+        if p["L_SAT"] is not None:
+            self.L = p["L_SAT"]
+        else:
+            self.L = l_path(p["H_SAT"], p["ZENITH_ANGLE"])
+
+        self.dtheta = p["DTHETA"]
+        self.paa = np.sqrt(self.dtheta[0] ** 2 + self.dtheta[1] ** 2)
+
+        wind_spd = np.asarray(p["WIND_SPD"], dtype=float)
+        self.wind_dir = np.asarray(p["WIND_DIR"], dtype=float)
+        if "AZIMUT_SAT" in p:
+            self.wind_dir = (self.wind_dir - p["AZIMUT_SAT"]) % 360
+        self.wind_vector = (wind_spd * np.array([
+            np.cos(np.radians(self.wind_dir)),
+            np.sin(np.radians(self.wind_dir)) / self.zenith_correction,
+        ])).T
+        if "ANISO_DL" in p:
+            self.wind_correction = calculate_wind_correction(
+                self.h, p["ANISO_DL"], p["TLOOP"])
+            self.wind_vector = self.wind_vector + self.wind_correction
+        self.wind_speed = np.sqrt(
+            self.wind_vector[:, 0] ** 2 + self.wind_vector[:, 1] ** 2)
+
+        cn2_zen = np.asarray(p["CN2_TURB"], dtype=float)
+        h_zen = np.asarray(p["H_TURB"], dtype=float)
+        self.r0 = atmosphere.cn2_to_r0(cn2_zen.sum(), lamda=500e-9)
+        self.theta0 = atmosphere.isoplanatic_angle(cn2_zen, h_zen, lamda=500e-9)
+        self.tau0 = atmosphere.coherence_time(cn2_zen, wind_spd, lamda=500e-9)
+        self.rytov_variance = atmosphere.rytov_variance(cn2_zen, h_zen, lamda=500e-9)
+
+        self.r0_los = atmosphere.cn2_to_r0(self.cn2.sum(), lamda=p["WVL"])
+        self.theta0_los = atmosphere.isoplanatic_angle(self.cn2, self.h, lamda=p["WVL"])
+        self.tau0_los = atmosphere.coherence_time(self.cn2, self.wind_speed, lamda=p["WVL"])
+        self.rytov_variance_los = atmosphere.rytov_variance(self.cn2, self.h, lamda=p["WVL"])
+
+        self.L0 = p["L0"]
+        self.l0 = p["l0"]
+
+    def init_beam_params(self):
+        logger.info("Initialising beam parameters")
+        p = self.params
+        self.power = p["POWER"]
+        self.W0 = p["W0"]
+        self.F0 = np.inf  # collimated launch, as in the reference
+        self.wvl = p["WVL"]
+        self.k = 2 * np.pi / self.wvl
+        self.D_ground = p["D_GROUND"]
+        self.obsc_ground = p["OBSC_GROUND"]
+        self.D_sat = p["D_SAT"]
+        self.obsc_sat = p["OBSC_SAT"]
+
+    def init_frequency_grid(self):
+        """Resolve 'auto' grid rules and build the frequency grids.
+
+        Mirrors the reference sizing logic exactly (``fast/fast.py:147-227``)
+        so comparison runs land on identical grids.
+        """
+        logger.info("Initialising spatial frequencies")
+        p = self.params
+
+        if p["DX"] == "auto":
+            dx_subap = p["DSUBAP"] / 2
+            dx_r0 = self.r0_los / 2
+            dx_pupil = self.D_ground / 10
+            self.dx = float(np.min([dx_subap, dx_r0, dx_pupil]))
+            if p["AO_MODE"] == "NOAO":
+                self.dx = self.r0_los / 2
+            logger.info("Auto set DX to %s", self.dx)
+        else:
+            self.dx = p["DX"]
+
+        wind_spd_raw = np.asarray(p["WIND_SPD"], dtype=float)
+        if p["NPXLS"] == "auto":
+            nyq_aniso = np.pi / (self.h[-1] * self.paa / 206265.0)
+            nyq_servo = np.pi / (max(self.wind_speed) * p["TLOOP"])
+            nyq_fitting = np.pi / p["DSUBAP"] / 5
+            nyq = np.min([nyq_aniso, nyq_servo, nyq_fitting])
+            nyq_npxls = int(2 * np.ceil(2 * np.pi / (nyq * self.dx) / 2))
+            ap_npxls = int(2 * np.ceil(p["D_GROUND"] / self.dx / 2)) + 2
+            if p["TEMPORAL"]:
+                temporal_npxls = int(
+                    wind_spd_raw.max() * p["DT"] * p["NITER"] / self.dx / 2)
+            else:
+                temporal_npxls = 0
+            self.Npxls = int(np.max([nyq_npxls, ap_npxls, temporal_npxls]))
+            logger.info("Auto set NPXLS to %s", self.Npxls)
+
+            if p["AO_MODE"] == "NOAO" and not np.isinf(p["L0"]):
+                L0_npxls = int(2 * np.ceil((p["L0"] * 2) / self.dx) / 2)
+                if L0_npxls > self.Npxls:
+                    logger.warning(
+                        "L0 set with NOAO mode, low orders may be "
+                        "undersampled. Recommended NPXLS: %s", L0_npxls)
+        else:
+            self.Npxls = p["NPXLS"]
+            if p["TEMPORAL"]:
+                temporal_npxls = int(
+                    wind_spd_raw.max() * p["DT"] * p["NITER"] / self.dx / 2)
+                if self.Npxls < temporal_npxls:
+                    logger.warning(
+                        "NPXLS likely too small; recommended: %s",
+                        temporal_npxls)
+
+        if self.Npxls > 2048:
+            logger.warning(
+                "NPXLS is large (%s) and may cause very high memory usage",
+                self.Npxls)
+
+        self.Npxls_pup = int(np.ceil(self.D_ground / self.dx)) + 2
+
+        self.freq = SpatialFrequencies(self.Npxls, self.dx)
+
+        self.subharmonics = p["SUBHARM"]
+        if self.temporal:
+            self.freq.make_temporal_freqs(
+                len(self.h), self.Npxls, self.Niter, self.wind_speed,
+                self.wind_dir, self.dt)
+            if self.subharmonics:
+                logger.info("SUBHARM not used in TEMPORAL mode")
+                self.subharmonics = False
+        if self.subharmonics:
+            self.freq.make_subharm_freqs()
+
+    def init_ao_params(self):
+        logger.info("Initialising AO parameters")
+        p = self.params
+        self.ao_mode = p["AO_MODE"]
+        self.Dsubap = p["DSUBAP"]
+        self.tloop = p["TLOOP"]
+        self.texp = p["TEXP"]
+        self.Zmax = p["ZMAX"]
+        self.alias = p["ALIAS"]
+        self.noise = p["NOISE"]
+        self.modal = p["MODAL"]
+        self.modal_mult = p["MODAL_MULT"]
+
+        if self.ao_mode == "TT":
+            self.Zmax = 3
+            self.modal = True
+            self.modal_mult = 1
+
+        self.lf_mask = np.asarray(ao_spectra.mask_lf(
+            self.freq.main, self.Dsubap, modal=self.modal,
+            modal_mult=self.modal_mult, Zmax=self.Zmax, D=self.D_ground))
+        self.hf_mask = 1 - self.lf_mask
+
+        if self.subharmonics:
+            self.lf_mask_subharm = np.asarray(ao_spectra.mask_lf(
+                self.freq.subharm, self.Dsubap, modal=self.modal,
+                modal_mult=self.modal_mult, Zmax=self.Zmax, D=self.D_ground))
+        if self.temporal:
+            self.lf_mask_temporal = np.asarray(ao_spectra.mask_lf(
+                self.freq.temporal, self.Dsubap, modal=self.modal,
+                modal_mult=self.modal_mult, Zmax=self.Zmax, D=self.D_ground))
+
+    def init_pupil_mask(self):
+        logger.info("Initialising pupil mask")
+        p = self.params
+        self.dx_sat = self.D_sat / 32  # fixed 32-px satellite pupil, as reference
+
+        ptype = "axicon" if p["AXICON"] else "gauss"
+
+        self.pupil = apertures.compute_pupil(
+            self.Npxls, self.dx, self.D_ground, self.obsc_ground)
+        self.pupil_sat = apertures.compute_pupil(
+            32, self.dx_sat, self.D_sat, self.obsc_sat)
+
+        self.pupil_mode, self.W0 = apertures.compute_gaussian_mode(
+            self.pupil, self.dx, self.W0, D=self.D_ground,
+            obsc=self.obsc_ground, ptype=ptype)
+        self.pupil_mode_sat, self.W0_sat = apertures.compute_gaussian_mode(
+            self.pupil_sat, self.dx_sat, "opt", ptype="gauss")
+
+        self.pupil_filter = apertures.pupil_filter(self.pupil * self.pupil_mode)
+
+        lo = (self.Npxls - self.Npxls_pup) // 2
+        hi = (self.Npxls + self.Npxls_pup) // 2
+        self.pup_crop = (lo, hi)
+        self.pup_coords = np.array([np.arange(lo, hi), np.arange(lo, hi)])
+        self.pupil = self.pupil[lo:hi, lo:hi]
+        self.pupil_mode = self.pupil_mode[lo:hi, lo:hi]
+
+        if self.temporal:
+            # high-resolution pupil filter for the temporal log-amplitude PSD
+            fx_max = self.freq.temporal.fx_axis.max()
+            fy_max = self.freq.temporal.fy_axis.max()
+            f_max = max(fx_max, fy_max)
+            dx_req = np.pi / f_max
+            n_req = int(2 * np.ceil(2 * np.pi / (self.freq.main.df * dx_req) / 2))
+
+            pupil_temporal = apertures.compute_pupil(
+                n_req, dx_req, self.D_ground, self.obsc_ground,
+                Ny=2 * self.Npxls_pup)
+            mode_temporal, _ = apertures.compute_gaussian_mode(
+                pupil_temporal, dx_req, W0=self.W0, ptype="gauss")
+            self.freq.make_logamp_freqs(
+                Nx=n_req, dx=dx_req, Ny=2 * self.Npxls_pup, dy=self.dx)
+            P = apertures.pupil_filter(pupil_temporal * mode_temporal)
+            self.pupil_filter_temporal = PupilFilterSampler(
+                P, self.freq.logamp.fx_axis, self.freq.logamp.fy_axis)
+
+        return self.pupil
+
+    # ------------------------------------------------------------------
+    # analytic precompute
+    # ------------------------------------------------------------------
+
+    def compute_link_budget(self):
+        """Analytic link budget in dB terms (``fast/fast.py:670-734``)."""
+        logger.info("Computing analytical link budget")
+        p = self.params
+
+        if p["PROP_DIR"] == "up":
+            D_t, D_r = self.D_ground, self.D_sat
+            obsc_t = self.obsc_ground
+            obsc_r = self.obsc_sat
+            mode = self.pupil_mode_sat
+            dx_r = self.dx_sat
+            pupil_r = self.pupil_sat
+            w0 = self.W0
+        else:
+            D_t, D_r = self.D_sat, self.D_ground
+            obsc_t = self.obsc_sat
+            obsc_r = self.obsc_ground
+            mode = self.pupil_mode
+            dx_r = self.dx
+            pupil_r = self.pupil
+            w0 = self.W0_sat
+
+        lb = {}
+        lb["power"] = 10 * np.log10(self.power / 1e-3)
+        lb["free_space"] = 10 * np.log10((self.wvl / (4 * np.pi * self.L)) ** 2)
+
+        # Klein & Degnan 1974 eq. 9: obscured-Gaussian transmitter gain
+        alpha = D_t / (2 * w0)
+        gamma = obsc_t / D_t
+        g_t = 2 / alpha ** 2 * (
+            np.exp(-alpha ** 2) - np.exp(-gamma ** 2 * alpha ** 2)) ** 2
+        lb["transmitter_gain"] = 10 * np.log10(
+            (np.pi * D_t ** 2) * 4 * np.pi / self.wvl ** 2 * g_t)
+
+        A = np.pi * ((D_r / 2) ** 2 - (obsc_r / 2) ** 2)
+        lb["receiver_gain"] = 10 * np.log10(4 * np.pi * A / self.wvl ** 2)
+
+        lb["transmission_loss"] = 10 * np.log10(p["TRANSMISSION"])
+
+        lb["smf_coupling"] = 10 * np.log10(
+            ((pupil_r * mode).sum() * dx_r) ** 2 / (mode ** 2).sum())
+
+        self.link_budget = lb
+        self.diffraction_limit = 10 ** (sum(lb.values()) / 10) / 1e3  # W
+        return lb
+
+    def compute_powerspec(self):
+        """Assemble all residual phase / log-amplitude power spectra.
+
+        Mirrors the reference assembly (``fast/fast.py:445-587``) term by
+        term, in float64.
+        """
+        logger.info("Computing (residual) phase power spectra")
+        freq = self.freq
+
+        self.turb_powerspec = atmosphere.turb_powerspectrum_vonKarman(
+            freq.main, self.cn2, self.L0, self.l0)
+
+        self.G_ao = ao_spectra.G_AO_PAOLA(
+            freq.main, jnp.asarray(self.lf_mask), self.ao_mode, self.h,
+            self.wind_vector, self.dtheta, self.D_ground, self.wvl,
+            self.Zmax, self.tloop, self.texp)
+
+        self.aniso_servo_error = float(integrate_powerspectrum(
+            integrate_path(self.G_ao * self.turb_powerspec, self.h, layer=True)
+            * jnp.asarray(self.lf_mask) * 2 * np.pi * self.k ** 2,
+            freq.main.f))
+
+        if self.alias and self.ao_mode != "NOAO":
+            self.alias_powerspec = ao_spectra.Jol_alias_openloop(
+                freq.main, self.Dsubap, self.cn2, jnp.asarray(self.lf_mask),
+                self.wind_vector, self.texp, self.wvl, 5, 5, self.L0, self.l0)
+            self.alias_error = float(integrate_powerspectrum(integrate_path(
+                self.alias_powerspec * 2 * np.pi * self.k ** 2, self.h,
+                layer=True), freq.main.f))
+        else:
+            self.alias_powerspec = 0.0
+            self.alias_error = 0.0
+
+        if self.noise > 0 and self.ao_mode != "NOAO":
+            self.noise_powerspec = ao_spectra.Jol_noise_openloop(
+                freq.main, self.Dsubap, self.noise, jnp.asarray(self.lf_mask))
+            self.noise_error = float(integrate_powerspectrum(
+                self.noise_powerspec, freq.main.f))
+        else:
+            self.noise_powerspec = 0.0
+            self.noise_error = 0.0
+
+        self.powerspec_per_layer = np.asarray(
+            2 * np.pi * self.k ** 2
+            * (self.turb_powerspec * self.G_ao + self.alias_powerspec)
+            + self.noise_powerspec / len(self.h))
+        self.powerspec = self.powerspec_per_layer.sum(0)
+
+        self.fitting_error = float(integrate_powerspectrum(
+            jnp.asarray(self.powerspec * self.hf_mask), freq.main.f))
+        self.phs_var = float(integrate_powerspectrum(
+            jnp.asarray(self.powerspec), freq.main.f))
+        self.phs_var_weights = np.asarray(integrate_powerspectrum(
+            jnp.asarray(self.powerspec_per_layer), freq.main.f)) / self.phs_var
+
+        self.logamp_powerspec = np.asarray(logamp_powerspec(
+            freq.main, self.h, self.cn2, self.wvl,
+            pupilfilter=self.pupil_filter, layer=True, L0=self.L0, l0=self.l0))
+        self.logamp_var = float(integrate_powerspectrum(
+            jnp.asarray(self.logamp_powerspec), freq.main.f))
+
+        if self.subharmonics:
+            logger.info("Computing subharmonics power spectra")
+            turb_lo = atmosphere.turb_powerspectrum_vonKarman(
+                freq.subharm, self.cn2, self.L0, self.l0)
+            G_ao_lo = ao_spectra.G_AO_PAOLA(
+                freq.subharm, jnp.asarray(self.lf_mask_subharm), self.ao_mode,
+                self.h, self.wind_vector, self.dtheta, self.D_ground,
+                self.wvl, self.Zmax, self.tloop, self.texp, self.Dsubap,
+                self.modal, self.modal_mult)
+            if self.alias and self.ao_mode != "NOAO":
+                alias_sh = ao_spectra.Jol_alias_openloop(
+                    freq.subharm, self.Dsubap, self.cn2,
+                    jnp.asarray(self.lf_mask_subharm), self.wind_vector,
+                    self.texp, self.wvl, 5, 5, self.L0, self.l0)
+            else:
+                alias_sh = 0.0
+            if self.noise > 0 and self.ao_mode != "NOAO":
+                noise_sh = ao_spectra.Jol_noise_openloop(
+                    freq.subharm, self.Dsubap, self.noise,
+                    jnp.asarray(self.lf_mask_subharm))
+            else:
+                noise_sh = 0.0
+
+            self.powerspec_subharm_per_layer = np.asarray(
+                2 * np.pi * self.k ** 2 * (turb_lo * G_ao_lo + alias_sh)
+                + noise_sh / len(self.h))
+            self.powerspec_subharm = self.powerspec_subharm_per_layer.sum(0)
+
+            self.phs_var_subharm = (
+                self.powerspec_subharm_per_layer.sum((-1, -2))
+                * self.freq.subharm.df ** 2)
+            self.phs_var_weights_sh = (
+                self.phs_var_subharm / self.phs_var_subharm.sum())
+        else:
+            self.powerspec_subharm = None
+            self.phs_var_subharm = None
+            self.phs_var_weights_sh = None
+
+        self.temporal_powerspec = None
+        self.temporal_logamp_powerspec = None
+
+        if self.temporal:
+            logger.info("Computing temporal power spectra")
+            dts = np.arange(1, self.Niter_per_chunk + 1) * self.dt
+            self.pixel_shifts = dts * self.wind_vector[..., np.newaxis] / self.dx
+
+            tl = logamp_powerspec(
+                freq.temporal, self.h, self.cn2, self.wvl,
+                pupilfilter=self.pupil_filter_temporal, layer=True,
+                L0=self.L0, l0=self.l0)
+            self.temporal_logamp_powerspec = np.asarray(
+                tl.sum(-2) * freq.main.dfy)
+
+    # ------------------------------------------------------------------
+    # Monte Carlo run
+    # ------------------------------------------------------------------
+
+    def _prepare_device_constants(self):
+        """Cast static fields for the hot path (float32 by default)."""
+        dt = self.dtype
+        self._sqrt_psd = jnp.asarray(np.sqrt(self.powerspec), dtype=dt)
+        self._pm = jnp.asarray(self.pupil * self.pupil_mode, dtype=dt)
+        self._norm = float((self.pupil * self.pupil_mode).sum() * self.dx ** 2)
+        if self.subharmonics:
+            self._sqrt_psd_sh = jnp.asarray(
+                np.sqrt(self.powerspec_subharm), dtype=dt)
+            self._sh_modes = synthesis.make_subharm_modes(
+                self.freq.subharm.fx, self.freq.subharm.fy, self.Npxls,
+                self.dx, dtype=dt)
+            self._sh_df = jnp.asarray(self.freq.subharm.df, dtype=dt)
+        if self.temporal:
+            self._sqrt_psd_layers = jnp.asarray(
+                np.sqrt(self.powerspec_per_layer), dtype=dt)
+
+    def set_seed(self, seed):
+        self.seed = seed
+
+    def _chunk_fn(self):
+        """Build the jitted per-chunk Monte Carlo program (iid draws)."""
+        B = self.Niter_per_chunk
+        df = float(self.freq.main.df)
+        dx = self.dx
+        crop = self.pup_crop
+        coherent = bool(self.params["COHERENT"])
+        subharm = self.subharmonics
+        norm = self._norm
+
+        @jax.jit
+        def chunk(key, chi, sqrt_psd, pm, sqrt_psd_sh=None, sh_modes=None,
+                  sh_df=None):
+            kmain, ksub = jax.random.split(key)
+            scr = synthesis.synthesize_screens_complex(
+                kmain, sqrt_psd, df, B // 2, crop=crop)
+            if subharm:
+                scr = scr + synthesis.synthesize_subharm_complex(
+                    ksub, sqrt_psd_sh, sh_df, sh_modes, B // 2, crop=crop)
+            phs = synthesis.double_screens(scr)
+            pc = synthesis.detector_coupling(phs, pm, dx, norm)
+            out = jnp.exp(chi).astype(pc.real.dtype) * pc
+            if not coherent:
+                out = jnp.abs(out) ** 2
+            return out
+
+        return chunk
+
+    def _chunk_fn_temporal(self):
+        """Jitted per-chunk frozen-flow sampler + detector."""
+        dx = self.dx
+        coherent = bool(self.params["COHERENT"])
+        norm = self._norm
+
+        @jax.jit
+        def chunk(screens, rows, cols, chi, pm):
+            phs = synthesis.sample_frozen_flow(screens, rows, cols)
+            pc = synthesis.detector_coupling(phs, pm, dx, norm)
+            out = jnp.exp(chi).astype(pc.real.dtype) * pc
+            if not coherent:
+                out = jnp.abs(out) ** 2
+            return out
+
+        return chunk
+
+    def run(self):
+        """Draw all Monte Carlo realizations; returns :class:`FastResult`."""
+        key = make_key(self.seed, impl=self.params["RNG"])
+        key_logamp, key_scr, key_mc = jax.random.split(key, 3)
+
+        logger.debug("Compute log amplitude values")
+        self.logamp = np.asarray(synthesis.draw_logamp(
+            key_logamp, self.Niter, self.logamp_var,
+            temporal_powerspec=(self.temporal_logamp_powerspec
+                                if self.temporal else None),
+            dtype=self.dtype))
+        chi = jnp.asarray(self.logamp)
+
+        B = self.Niter_per_chunk
+        outs = []
+        if not self.temporal:
+            chunk = self._chunk_fn()
+            for i in range(self.Nchunks):
+                k = jax.random.fold_in(key_mc, i)
+                if self.subharmonics:
+                    out = chunk(k, chi[i * B:(i + 1) * B], self._sqrt_psd,
+                                self._pm, self._sqrt_psd_sh, self._sh_modes,
+                                self._sh_df)
+                else:
+                    out = chunk(k, chi[i * B:(i + 1) * B], self._sqrt_psd,
+                                self._pm)
+                outs.append(out)
+        else:
+            screens = synthesis.synthesize_layer_screens(
+                key_scr, self._sqrt_psd_layers, float(self.freq.main.df))
+            chunk = self._chunk_fn_temporal()
+            # (nlayers, 2, T, Npup) trajectory, advanced per chunk
+            base = (self.pup_coords[np.newaxis, :, np.newaxis, :].astype(float)
+                    + self.pixel_shifts[:, :, :, np.newaxis])
+            for i in range(self.Nchunks):
+                rows = jnp.asarray(base[:, 0], dtype=self.dtype)
+                cols = jnp.asarray(base[:, 1], dtype=self.dtype)
+                out = chunk(screens, rows, cols, chi[i * B:(i + 1) * B],
+                            self._pm)
+                outs.append(out)
+                base = base + self.pixel_shifts[:, :, -1, np.newaxis, np.newaxis]
+
+        I = np.concatenate([np.asarray(o) for o in outs])
+        self.result = FastResult(I, self.diffraction_limit)
+        self.I = self.result.power  # backwards compatibility
+        logger.info(self.result)
+        return self.result
+
+    # ------------------------------------------------------------------
+    # analytic (MC-free) outputs
+    # ------------------------------------------------------------------
+
+    def compute_mean_irradiance(self, onaxis=True):
+        """Mean PSF/coupled flux from the OTF of the residual PSD.
+
+        Pure-Fourier path, no Monte Carlo (``fast/fast.py:736-761``).
+        """
+        logger.info("Computing mean irradiance/coupled flux")
+        ctx = jax.default_device(self._cpu) if self._cpu else _nullcontext()
+        with ctx:
+            pupil = np.zeros(self.powerspec.shape)
+            pm = self.pupil * self.pupil_mode
+            pupil[: pm.shape[0], : pm.shape[1]] = pm
+
+            phs_otf = np.asarray(ift2(jnp.asarray(self.powerspec),
+                                      self.freq.df))
+            mid = phs_otf.shape[0] // 2, phs_otf.shape[1] // 2
+            phs_sf = phs_otf[mid[0], mid[1]] - phs_otf
+
+            pupil_ft = np.asarray(ft2(jnp.asarray(pupil), self.dx))
+            pupil_otf = np.asarray(ift2(
+                jnp.asarray(np.abs(pupil_ft) ** 2),
+                self.freq.df)) / (2 * np.pi) ** 2
+
+            otf = np.exp(-phs_sf) * pupil_otf
+
+            if not onaxis:
+                psf = np.asarray(ft2(jnp.asarray(otf), self.dx)).real
+            else:
+                psf = otf.sum().real * self.dx ** 2
+
+            normalisation = (pupil.sum() * self.dx ** 2) ** 2
+            return psf * self.diffraction_limit / normalisation
+
+    def calc_zenith_correction(self, zenith_angle):
+        return 1 / np.cos(np.radians(zenith_angle))
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+
+    def make_header(self, params):
+        """FITS header with the reference's key set (``fast/fast.py:771-807``)."""
+        hdr = fits.Header()
+        hdr["ZENITH"] = params["ZENITH_ANGLE"]
+        hdr["WVL"] = int(params["WVL"] * 1e9)
+        hdr["OTRSCALE"] = (str(params["L0"]) if np.isinf(params["L0"])
+                           else params["L0"])
+        hdr["INRSCALE"] = params["l0"]
+        hdr["POWER"] = params["POWER"]
+        hdr["PAA"] = self.paa
+        hdr["AO_MODE"] = self.ao_mode
+        hdr["TLOOP"] = params["TLOOP"]
+        hdr["TEXP"] = params["TEXP"]
+        hdr["DSUBAP"] = params["DSUBAP"]
+        hdr["ALIAS"] = str(params["ALIAS"])
+        hdr["NOISE"] = params["NOISE"]
+        hdr["D_GND"] = params["D_GROUND"]
+        hdr["OBSC_GND"] = params["OBSC_GROUND"]
+        hdr["D_SAT"] = params["D_SAT"]
+        hdr["OBSC_SAT"] = params["OBSC_SAT"]
+        hdr["AXICON"] = str(params["AXICON"])
+        hdr["W0"] = self.W0
+        hdr["L_SAT"] = self.L
+        hdr["H_SAT"] = params["H_SAT"]
+        hdr["DX"] = self.dx
+        hdr["NPXLS"] = int(self.Npxls)
+        hdr["NITER"] = int(self.Niter)
+        hdr["R0"] = self.r0
+        hdr["THETA0"] = self.theta0
+        hdr["TAU0"] = self.tau0
+        hdr["DIFFLIM"] = self.diffraction_limit
+        if self.seed is not None:
+            hdr["SEED"] = self.seed
+        return hdr
+
+    def save(self, fname, **kwargs):
+        logger.info("Saving results to %s", fname)
+        hdr = self.make_header(self.params)
+        fits.writeto(fname, np.asarray(self.result.power), header=hdr, **kwargs)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *exc):
+        return False
+
+
+class FastResult:
+    """Unit conversions over the raw normalised Monte Carlo iterates.
+
+    Mirrors the reference (``fast/fast.py:931-994``).
+    """
+
+    def __init__(self, random_iters, diffraction_limit, header=None):
+        self._r = np.asarray(random_iters)
+        self._dl = diffraction_limit
+        if header is not None:
+            self.hdr = header
+
+    @property
+    def dB_rel(self):
+        return 10 * np.log10(self._r)
+
+    @property
+    def dB_abs(self):
+        return 10 * np.log10(self._r * self._dl)
+
+    @property
+    def dBm(self):
+        return 10 * np.log10(self._r * self._dl / 1e-3)
+
+    @property
+    def power(self):
+        return self._dl * self._r
+
+    @property
+    def scintillation_index(self):
+        return (self._r / self._r.mean()).var()
+
+    @property
+    def avg_power_W(self):
+        return self.power.mean()
+
+    @property
+    def avg_power_dBm(self):
+        return 10 * np.log10(self.avg_power_W / 1e-3)
+
+    @property
+    def avg_power_dB_rel(self):
+        return 10 * np.log10((self.power / self._dl).mean())
+
+    @property
+    def avg_power_dB_abs(self):
+        return 10 * np.log10(self.avg_power_W)
+
+    def __str__(self):
+        return (
+            "FAST result statistics:\n"
+            f"    Avg. power (W): {self.avg_power_W}\n"
+            f"    Avg. power (dBm): {self.avg_power_dBm}\n"
+            f"    Avg. power (dB_rel): {self.avg_power_dB_rel}\n"
+            f"    Avg. power (dB_abs): {self.avg_power_dB_abs}\n"
+            f"    Scintillation index: {self.scintillation_index}\n"
+        )
+
+
+def load(fname):
+    """Load a saved result file back into a :class:`FastResult`."""
+    hdr = fits.getheader(fname)
+    data = np.array(fits.getdata(fname))
+    data /= hdr["DIFFLIM"]  # saved in units of power
+    return FastResult(data, hdr["DIFFLIM"], header=hdr)

@@ -1,0 +1,108 @@
+"""Reference-compatible function surface (``fast/funcs.py``).
+
+Users of the reference import numerics from ``fast.funcs``; this module
+exposes the same names backed by the TPU-native implementations in
+``fast_tpu.ops`` / ``fast_tpu.models`` / ``fast_tpu.synthesis``. Random
+draws take an explicit JAX PRNG key instead of the reference's hidden
+module-global generator (``fast/funcs.py:21``).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .models.atmosphere import turb_powerspectrum_vonKarman  # noqa: F401
+from .ops.apertures import (  # noqa: F401
+    circle,
+    gaussian2d,
+    compute_pupil,
+    compute_gaussian_mode,
+    coupling_loss,
+    optimize_fibre,
+)
+from .ops.apertures import pupil_filter as _pupil_filter_ndarray
+from .ops.integrate import integrate_path, integrate_powerspectrum  # noqa: F401
+from .ops.rng import complex_normal, make_key  # noqa: F401
+from .engine import l_path, calculate_wind_correction  # noqa: F401
+from .synthesis import draw_logamp
+from .models.scintillation import PupilFilterSampler
+
+
+def f_grid_linear(L0, l0, max_size=1024):
+    """Linearly spaced frequency grid bounded by outer/inner scale."""
+    df = 2 * np.pi / L0
+    fmax = 2 * 5.92 / l0
+    N = 2 * fmax / df + 1
+    if N > max_size:
+        fmax = max_size * df / 2
+    f = np.arange(-fmax, fmax, df)
+    fx, fy = np.meshgrid(f, f)
+    return fx, fy, np.sqrt(fx ** 2 + fy ** 2), f
+
+
+def f_grid_dx(N, dx):
+    """Frequency grid from real-space size and sampling."""
+    df = 2 * np.pi / (N * dx)
+    f = np.arange(-N / 2.0, N / 2.0) * df
+    fx, fy = np.meshgrid(f, f)
+    return fx, fy, np.sqrt(fx ** 2 + fy ** 2), fx[0]
+
+
+def f_grid_log(L0, l0, N=129, include_0=True):
+    """Logarithmically spaced frequency grid."""
+    n_one_side = int(N / 2) if N % 2 == 0 else int((N - 1) / 2)
+    fmin = 0.5 * (2 * np.pi) / L0
+    fmax = 2 * (2 * np.pi) / l0
+    f_one_side = np.logspace(np.log10(fmin), np.log10(fmax), n_one_side)
+    if include_0:
+        f = np.hstack([-f_one_side[::-1], 0, f_one_side])
+    else:
+        f = np.hstack([-f_one_side[::-1], f_one_side])
+    fx, fy = np.meshgrid(f, f)
+    return fx, fy, np.sqrt(fx ** 2 + fy ** 2), f
+
+
+def calc_gaussian_beam_parameters(z, F_0, W_0, wvl):
+    """Andrews & Phillips ch. 12 eq. 8-9 beam parameters."""
+    k = 2 * np.pi / wvl
+    Theta_0 = 1 - z / F_0
+    Lambda_0 = 2 * z / (k * W_0 ** 2)
+    Theta = Theta_0 / (Theta_0 ** 2 + Lambda_0 ** 2)
+    Theta_bar = 1 - Theta
+    Lambda = Lambda_0 / (Theta_0 ** 2 + Lambda_0 ** 2)
+    return Theta_0, Lambda_0, Theta, Lambda, Theta_bar
+
+
+def pdf_lognorm(Is, sigma, Imn=1):
+    """Log-normal intensity PDF."""
+    scint = sigma ** 2
+    return 1 / (Is * np.sqrt(scint * 2 * np.pi)) * np.exp(
+        -((np.log(Is / Imn) + 0.5 * scint) ** 2) / (2 * scint))
+
+
+def pupil_filter(freq, pupil, spline=False):
+    """Pupil spatial filter; ``spline=True`` returns a bilinear resampler."""
+    P = _pupil_filter_ndarray(np.asarray(pupil))
+    if spline:
+        return PupilFilterSampler(P, freq.fx_axis, freq.fy_axis)
+    return P
+
+
+def generate_random_coefficients(key, shape, dtype=jnp.complex128):
+    """Standard complex normal coefficients (explicit key)."""
+    return complex_normal(key, shape, dtype=dtype)
+
+
+def generate_random_coefficients_logamp(key, Nscrns, powerspec, temporal=False,
+                                        temporal_powerspecs=None):
+    """Log-amplitude draws; see :func:`fast_tpu.synthesis.draw_logamp`."""
+    return draw_logamp(
+        key, Nscrns, powerspec,
+        temporal_powerspec=temporal_powerspecs if temporal else None,
+        dtype=jnp.float64)
+
+
+def temporal_autocorrelation(I):
+    """Mean-removed autocorrelation of an intensity time series."""
+    Icp = np.asarray(I) - np.asarray(I).mean()
+    corr = np.correlate(Icp, Icp, mode="full")
+    return corr[len(Icp) - 1:] / len(Icp)

@@ -1,0 +1,165 @@
+"""Monte Carlo synthesis: phase screens, subharmonics, frozen flow, detector.
+
+Device-side hot path. The reference drew realizations through a serial
+chunk loop into preallocated numpy buffers with optional pyFFTW
+(``fast/fast.py:589-668``, ``fast/funcs.py:210-258``); here each chunk is a
+single jitted program over a batched realization axis:
+
+    complex normals  ->  color by sqrt(PSD)  ->  batched centered ifft2
+    ->  crop to pupil  ->  pupil-overlap reduction  ->  complex coupling
+
+Everything uses float32/complex64 by default (configurable) — the PSD is
+assembled in float64 and cast once. The Hermitian "doubling" trick of the
+reference (real and imaginary parts of one complex screen are two
+independent realizations, ``fast/funcs.py:220-222``) is kept: only
+``batch/2`` FFTs are needed per ``batch`` screens.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.fourier import ft, ift2
+from .ops.interp import sample_grid_periodic
+from .ops.rng import complex_normal
+
+
+def synthesize_screens_complex(key, sqrt_powerspec, df, nbatch, crop=None):
+    """Draw ``nbatch`` complex screens whose real/imag parts are phase screens.
+
+    Args:
+        key: PRNG key.
+        sqrt_powerspec: (..., N, N) float — ``sqrt(PSD)``; a leading axis
+            (e.g. per-layer) broadcasts against the batch axis.
+        df: frequency-bin spacing (scalar).
+        nbatch: number of complex screens to draw.
+        crop: optional (lo, hi) slice applied to both trailing axes after
+            the FFT (the pupil cut, ``fast/fast.py:596``).
+
+    Returns:
+        (nbatch, ...) complex screens (cropped if requested).
+    """
+    sqrt_ps = jnp.asarray(sqrt_powerspec)
+    cdtype = jnp.complex64 if sqrt_ps.dtype == jnp.float32 else jnp.complex128
+    rand = complex_normal(key, (nbatch,) + sqrt_ps.shape, dtype=cdtype)
+    rand = rand * (sqrt_ps * df)
+    scr = ift2(rand, 1.0)  # reference scaling: ift2(rand * df, 1)
+    if crop is not None:
+        lo, hi = crop
+        scr = scr[..., lo:hi, lo:hi]
+    return scr
+
+
+def double_screens(scr):
+    """Split complex screens into twice as many real ones (doubling trick)."""
+    return jnp.concatenate([scr.real, scr.imag], axis=0)
+
+
+def make_subharm_modes(subharm_fx, subharm_fy, N, dx, dtype=jnp.float64):
+    """Complex exponential mode grids for the subharmonic levels.
+
+    Returns (nlevels, 3, 3, N, N) complex modes ``exp(i(x fx + y fy))`` on
+    the real-space grid of the main screen (``fast/funcs.py:225-246``).
+    """
+    D = dx * N
+    coords = np.arange(-D / 2, D / 2, dx)
+    if len(coords) == N + 1:
+        coords = coords[:-1]
+    x, y = np.meshgrid(coords, coords)
+    x = jnp.asarray(x, dtype=dtype)
+    y = jnp.asarray(y, dtype=dtype)
+    fx = jnp.asarray(subharm_fx, dtype=dtype)  # (levels, 3, 3)
+    fy = jnp.asarray(subharm_fy, dtype=dtype)
+    phase = (x[None, None, None] * fx[..., None, None]
+             + y[None, None, None] * fy[..., None, None])
+    return jnp.exp(1j * phase)
+
+
+def synthesize_subharm_complex(key, sqrt_powerspec_sh, df_sh, modes, nbatch,
+                               crop=None):
+    """Low-order subharmonic screens as a mode sum (einsum over 27 modes).
+
+    Args:
+        key: PRNG key.
+        sqrt_powerspec_sh: (levels, 3, 3) float ``sqrt(PSD)`` on the
+            subharmonic grids.
+        df_sh: (levels,) frequency spacing per level.
+        modes: output of :func:`make_subharm_modes`.
+        nbatch: number of complex screens.
+        crop: optional (lo, hi) pupil cut.
+
+    Returns:
+        (nbatch, ...) complex screens, mean-subtracted per screen
+        (``fast/funcs.py:253``).
+    """
+    sqrt_ps = jnp.asarray(sqrt_powerspec_sh)
+    cdtype = jnp.complex64 if sqrt_ps.dtype == jnp.float32 else jnp.complex128
+    rand = complex_normal(key, (nbatch,) + sqrt_ps.shape, dtype=cdtype)
+    weights = rand * (sqrt_ps * jnp.asarray(df_sh, sqrt_ps.dtype)[:, None, None])
+    scr = jnp.einsum("bimn,imnxy->bxy", weights, modes.astype(cdtype))
+    scr = scr - scr.mean(axis=(-2, -1), keepdims=True)
+    if crop is not None:
+        lo, hi = crop
+        scr = scr[..., lo:hi, lo:hi]
+    return scr
+
+
+def synthesize_layer_screens(key, sqrt_powerspec_per_layer, df):
+    """One real frozen-flow screen per layer (``fast/fast.py:611-614``)."""
+    sqrt_ps = jnp.asarray(sqrt_powerspec_per_layer)
+    cdtype = jnp.complex64 if sqrt_ps.dtype == jnp.float32 else jnp.complex128
+    rand = complex_normal(key, sqrt_ps.shape, dtype=cdtype) * (sqrt_ps * df)
+    return ift2(rand, 1.0).real
+
+
+def sample_frozen_flow(screens, row_coords, col_coords):
+    """Accumulate per-layer screen samples along the frozen-flow trajectory.
+
+    Args:
+        screens: (nlayers, N, N) periodic screens.
+        row_coords: (nlayers, T, Npup) fractional row coordinates.
+        col_coords: (nlayers, T, Npup) fractional column coordinates.
+
+    Returns:
+        (T, Npup, Npup) summed phase. Replaces the reference's double
+        Python loop over layers x iterations with spline evaluation and
+        wrap-roll bookkeeping (``fast/fast.py:619-633``): FFT screens are
+        exactly periodic, so periodic bilinear gathers need no seam
+        handling.
+    """
+    def per_layer(scr, rows, cols):
+        return jax.vmap(lambda r, c: sample_grid_periodic(scr, r, c))(rows, cols)
+
+    phs = jax.vmap(per_layer)(screens, row_coords, col_coords)  # (nl,T,Np,Np)
+    return phs.sum(0)
+
+
+def detector_coupling(phs, pupil_mode, dx, normalisation):
+    """Pupil-overlap reduction to one complex coupling per realization.
+
+    ``sum(pupil * mode * exp(i phs)) * dx^2 / norm`` over the pupil cut
+    (``fast/fast.py:647-657``).
+    """
+    pm = jnp.asarray(pupil_mode, dtype=phs.dtype)
+    field = jax.lax.complex(jnp.cos(phs), jnp.sin(phs)) * pm
+    return field.sum(axis=(-2, -1)) * (dx ** 2 / normalisation)
+
+
+def draw_logamp(key, niter, logamp_var, temporal_powerspec=None,
+                dtype=jnp.float32):
+    """Log-amplitude draws for all iterations.
+
+    iid ``N(0, logamp_var)``, or — in temporal mode — a series colored by
+    the 1-D temporal log-amplitude PSD via a centered FT and scaled to the
+    same total variance (``fast/funcs.py:358-375``).
+    """
+    if temporal_powerspec is None:
+        r = jax.random.normal(key, (niter,), dtype=dtype)
+        return r * jnp.sqrt(logamp_var).astype(dtype)
+    ps = jnp.asarray(temporal_powerspec)
+    r_fourier = complex_normal(
+        key, (niter,),
+        dtype=jnp.complex64 if dtype == jnp.float32 else jnp.complex128)
+    r_fourier = r_fourier * jnp.sqrt(ps / ps.sum()).astype(r_fourier.dtype)
+    r = ft(r_fourier, 1.0)
+    return (r.real * jnp.sqrt(logamp_var)).astype(dtype)
