@@ -56,9 +56,10 @@ def gaussian2d(size, width, amplitude=1.0, cent=None):
         ycent = ysize / 2.0
     else:
         xcent, ycent = cent
-    X, Y = np.meshgrid(np.arange(xsize), np.arange(ysize))
+    i = np.arange(xsize)[:, None]
+    j = np.arange(ysize)[None, :]
     return amplitude * np.exp(
-        -(((xcent - X) / xwidth) ** 2 + ((ycent - Y) / ywidth) ** 2) / 2
+        -(((xcent - i) / xwidth) ** 2 + ((ycent - j) / ywidth) ** 2) / 2
     )
 
 
