@@ -100,12 +100,16 @@ class Modulator:
             self.recv_symbols = d.argmin(0)
 
         if self.data is not None:
-            self.recv_data = np.zeros(
-                (len(self.power), self.symbols_per_iter), dtype=np.uint8)
-            for i in range(self.symbols_per_iter):
-                self.recv_data[i] = _decode(
+            # one decoded payload per power iteration (the reference's
+            # version indexed inconsistently and could not run,
+            # ``fast/comms.py:106-109``; its test was commented out)
+            decoded = [
+                np.frombuffer(bytes(_decode(
                     self.recv_symbols[:, i], self.bits_per_symbol,
-                    self._pad_bits)
+                    self._pad_bits)), dtype=np.uint8)
+                for i in range(len(self.power))
+            ]
+            self.recv_data = np.stack(decoded)
 
         return self.recv_symbols
 

@@ -129,7 +129,7 @@ def _read(fname):
              -32: ">f4", -64: ">f8"}[bitpix]
     count = int(np.prod(shape)) if shape else 0
     data = np.frombuffer(raw[pos:], dtype=dtype, count=count).reshape(shape)
-    return header, np.ascontiguousarray(data)
+    return header, data.copy()  # writable, native-order copy
 
 
 def getheader(fname):

@@ -1,0 +1,116 @@
+"""End-to-end engine tests: per-feature smoke matrix + result semantics.
+
+Mirrors the reference test strategy (``test/tests_pytest.py:36-127``,
+SURVEY.md §4) with explicit per-case configs instead of the reference's
+order-dependent shared-dict mutation.
+"""
+
+import numpy as np
+import pytest
+
+import fast_tpu
+from conftest import make_test_params
+
+
+def run_sim(p):
+    sim = fast_tpu.Fast(p)
+    sim.run()
+    assert np.isfinite(sim.I).all()
+    return sim
+
+
+def test_sim_default():
+    sim = fast_tpu.Fast(make_test_params())
+    sim.run()
+    assert np.isfinite(sim.result.power).all()
+    assert np.isfinite(sim.result.dB_rel).all()
+    assert np.isfinite(sim.result.dB_abs).all()
+
+
+def test_sim_mean_irradiance():
+    sim = fast_tpu.Fast(make_test_params())
+    psf = sim.compute_mean_irradiance()
+    assert np.isfinite(psf).all()
+
+
+@pytest.mark.parametrize("overrides", [
+    {"TEMPORAL": False},
+    {"TEMPORAL": False, "SUBHARM": True},
+    {"OBSC_GROUND": 0.1},
+    {"OBSC_SAT": 0.05},
+    {"W0": 0.1, "AXICON": True, "OBSC_GROUND": 0.1},
+    {"L0": 25},
+    {"PROP_DIR": "down"},
+    {"AO_MODE": "NOAO"},
+    {"AO_MODE": "TT"},
+    {"AO_MODE": "LGSAO"},
+    {"NOISE": 1},
+    {"MODAL": True},
+    {"MODAL": True, "ZMAX": 12},
+], ids=["randscrns", "subharm", "obsc", "obsc_sat", "axicon", "L0", "down",
+        "noao", "tt", "lgsao", "noise", "modal", "modal_zmax"])
+def test_sim_feature(overrides):
+    run_sim(make_test_params(**overrides))
+
+
+def test_sim_temporal():
+    sim = run_sim(make_test_params(TEMPORAL=True))
+    assert len(sim.I) == sim.Niter
+
+
+def test_sim_L_SAT():
+    p = make_test_params(L_SAT=500e3)
+    sim = fast_tpu.Fast(p)
+    assert sim.L == p["L_SAT"]
+
+
+def test_sim_coherent():
+    p = make_test_params(COHERENT=True, TEMPORAL=False)
+    sim = fast_tpu.Fast(p)
+    sim.run()
+    assert np.iscomplexobj(sim.I)
+
+
+def test_seed_reproducible():
+    p = make_test_params(TEMPORAL=False, SEED=77)
+    r1 = fast_tpu.Fast(p).run().power
+    r2 = fast_tpu.Fast(p).run().power
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_float64_mc_path():
+    p = make_test_params(TEMPORAL=False, DTYPE="float64")
+    sim = run_sim(p)
+    assert sim.I.dtype == np.float64
+
+
+def test_niter_validation():
+    with pytest.raises(Exception, match="NCHUNKS must divide"):
+        fast_tpu.Fast(make_test_params(NITER=101, NCHUNKS=10))
+    with pytest.raises(Exception, match="even"):
+        fast_tpu.Fast(make_test_params(TEMPORAL=False, NITER=30, NCHUNKS=10))
+
+
+def test_phase_variance_of_screens():
+    """Generated screens carry the variance the PSD integral predicts."""
+    import jax
+    from fast_tpu import synthesis
+
+    p = make_test_params(TEMPORAL=False, NITER=2000, NCHUNKS=2)
+    sim = fast_tpu.Fast(p)
+    key = jax.random.key(0)
+    scr = synthesis.synthesize_screens_complex(
+        key, np.sqrt(sim.powerspec), float(sim.freq.main.df), 200)
+    phs = np.asarray(synthesis.double_screens(scr))
+    # screen variance (over realizations, at center pixel) ~ phs_var
+    var = phs.var(axis=0).mean()
+    assert abs(var - sim.phs_var) / sim.phs_var < 0.1
+
+
+def test_result_units():
+    r = fast_tpu.FastResult(np.array([0.5, 1.0, 2.0]), 2e-6)
+    assert np.allclose(r.power, [1e-6, 2e-6, 4e-6])
+    assert np.allclose(r.dB_rel, 10 * np.log10([0.5, 1, 2]))
+    assert np.isclose(r.avg_power_dBm, 10 * np.log10(r.avg_power_W / 1e-3))
+    si = (np.array([0.5, 1, 2]) / np.array([0.5, 1, 2]).mean()).var()
+    assert np.isclose(r.scintillation_index, si)

@@ -1,0 +1,69 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import fast_tpu
+from fast_tpu import parallel
+from conftest import make_test_params
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return parallel.make_mesh(8)
+
+
+def test_mesh_shape(mesh8):
+    assert mesh8.devices.size == 8
+    assert mesh8.axis_names == ("mc",)
+
+
+def test_run_sharded_statistics(mesh8):
+    p = make_test_params(TEMPORAL=False, NITER=3200, NCHUNKS=2, SEED=5)
+    sim = fast_tpu.Fast(p)
+    res = parallel.run_sharded(sim, mesh=mesh8)
+    power = np.asarray(res.power)
+    assert power.shape == (3200,)
+    assert np.isfinite(power).all()
+
+    # compare against a single-device run of the same config
+    sim2 = fast_tpu.Fast(p)
+    res2 = sim2.run()
+    r1 = power / sim.diffraction_limit
+    r2 = np.asarray(res2.power) / sim2.diffraction_limit
+    se = np.sqrt(r1.var() / len(r1) + r2.var() / len(r2))
+    assert abs(r1.mean() - r2.mean()) < 4 * se
+
+
+def test_run_sharded_deterministic(mesh8):
+    p = make_test_params(TEMPORAL=False, NITER=1600, NCHUNKS=2, SEED=31)
+    sim = fast_tpu.Fast(p)
+    r1 = np.asarray(parallel.run_sharded(sim, mesh=mesh8).power)
+    r2 = np.asarray(parallel.run_sharded(sim, mesh=mesh8).power)
+    np.testing.assert_array_equal(r1, r2)
+
+
+def test_run_sharded_validation(mesh8):
+    p = make_test_params(TEMPORAL=False, NITER=100, NCHUNKS=10)
+    sim = fast_tpu.Fast(p)
+    with pytest.raises(ValueError):
+        parallel.run_sharded(sim, mesh=mesh8)  # 100 not divisible by 80
+
+
+def test_sharded_moments(mesh8):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=8000).astype(np.float32)
+    m = parallel.sharded_moments(x, mesh=mesh8)
+    assert np.isclose(m[0], x.mean(), atol=1e-3)
+    assert np.isclose(m[1], (x ** 2).mean(), atol=1e-2)
+
+
+def test_coherent_sharded(mesh8):
+    p = make_test_params(TEMPORAL=False, NITER=1600, NCHUNKS=1, SEED=3,
+                         COHERENT=True)
+    sim = fast_tpu.Fast(p)
+    res = parallel.run_sharded(sim, mesh=mesh8)
+    assert np.iscomplexobj(res._r)
