@@ -1,0 +1,82 @@
+"""Benchmark: Monte Carlo realizations/sec of the flagship 256^2 AO link.
+
+Metric (BASELINE.json): MC realizations/sec/chip at a 256^2 grid for an
+AO-corrected satellite link. Baseline = the reference implementation's
+numpy path on this host's CPU (no pyFFTW available), measured via
+``FAST_TPU_MEASURE_REF=1`` and recorded below.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Reference CPU throughput (realizations/sec) for the same configuration,
+# measured on this machine (single-core container CPU, numpy FFT path,
+# reference test/benchmark.py-style run loop). Re-measure with
+# FAST_TPU_MEASURE_REF=1.
+REF_CPU_RPS = 30.4
+
+NITER = 16384
+NCHUNKS = 1
+REPS = 10
+
+
+def measure_reference():
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests",
+                                    "refshim"))
+    sys.path.insert(0, "/root/reference")
+    import __graft_entry__ as g
+    import fast as reference
+
+    p = g._flagship_params(npxls=256, niter=200, nchunks=2)
+    sim = reference.Fast(dict(p))
+    t0 = time.time()
+    sim.run()
+    return p["NITER"] / (time.time() - t0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    import fast_tpu
+
+    ref_rps = REF_CPU_RPS
+    if os.environ.get("FAST_TPU_MEASURE_REF"):
+        ref_rps = measure_reference()
+        print(f"# measured reference CPU: {ref_rps:.1f} r/s", file=sys.stderr)
+
+    sim = fast_tpu.Fast(g._flagship_params(
+        npxls=256, niter=NITER, nchunks=NCHUNKS, RNG="rbg"))
+    run_all = sim._run_all_fn()
+    key = jax.random.key(0, impl="rbg")
+    chi = jnp.zeros((NITER,), jnp.float32)
+
+    # compile + warm
+    out = run_all(key, chi)
+    checksum = float(out.sum())
+    assert np.isfinite(checksum)
+
+    t0 = time.time()
+    for i in range(REPS):
+        out = run_all(jax.random.fold_in(key, i), chi)
+    checksum = float(out.sum())
+    dt = (time.time() - t0) / REPS
+    rps = NITER / dt
+
+    print(json.dumps({
+        "metric": "mc_realizations_per_sec_256sq_chip",
+        "value": round(rps, 1),
+        "unit": "realizations/s",
+        "vs_baseline": round(rps / ref_rps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,6 +78,8 @@ TPU_DEFAULTS = {
     "PSD_DTYPE": "float64", # power-spectrum assembly dtype
     "RNG": "threefry",      # JAX PRNG implementation ('threefry'|'rbg')
     "PSD_DEVICE": "cpu",    # where to assemble PSDs ('cpu' guarantees f64)
+    "SYNTH": "auto",        # screen synthesis: 'auto'|'matmul' (pruned DFT
+                            # on the MXU) | 'fft' (batched ifft2)
 }
 
 

@@ -504,26 +504,38 @@ class Fast:
 
     def _prepare_device_constants(self):
         """Cast static fields for the hot path (float32 by default)."""
-        dt = self.dtype
-        self._sqrt_psd = jnp.asarray(np.sqrt(self.powerspec), dtype=dt)
-        self._pm = jnp.asarray(self.pupil * self.pupil_mode, dtype=dt)
+        # static fields stay host-side numpy: they embed as compile-time
+        # constants in the jitted programs (no device round-trips at trace)
+        dt = np.dtype(str(self.dtype))
+        self._sqrt_psd = np.sqrt(self.powerspec).astype(dt)
+        self._pm = (self.pupil * self.pupil_mode).astype(dt)
         self._norm = float((self.pupil * self.pupil_mode).sum() * self.dx ** 2)
+        synth = self.params["SYNTH"]
+        if synth == "auto":
+            synth = "matmul" if dt == np.float32 else "fft"
+        self._synth = synth
+        if synth == "matmul":
+            self._W_pruned = synthesis.pruned_ift2_matrix(
+                self.Npxls, *self.pup_crop,
+                dtype=np.complex64 if dt == np.float32 else np.complex128)
         if self.subharmonics:
-            self._sqrt_psd_sh = jnp.asarray(
-                np.sqrt(self.powerspec_subharm), dtype=dt)
+            self._sqrt_psd_sh = np.sqrt(self.powerspec_subharm).astype(dt)
             self._sh_modes = synthesis.make_subharm_modes(
                 self.freq.subharm.fx, self.freq.subharm.fy, self.Npxls,
                 self.dx, dtype=dt)
-            self._sh_df = jnp.asarray(self.freq.subharm.df, dtype=dt)
+            self._sh_df = self.freq.subharm.df.astype(dt)
         if self.temporal:
-            self._sqrt_psd_layers = jnp.asarray(
-                np.sqrt(self.powerspec_per_layer), dtype=dt)
+            self._sqrt_psd_layers = np.sqrt(self.powerspec_per_layer).astype(dt)
 
     def set_seed(self, seed):
         self.seed = seed
 
-    def _chunk_fn(self):
-        """Build the jitted per-chunk Monte Carlo program (iid draws)."""
+    def _chunk_body(self):
+        """The per-chunk Monte Carlo program (iid draws), unjitted.
+
+        Shared by the jitted single-chunk path, the all-chunks ``lax.scan``
+        path and the sharded runner.
+        """
         B = self.Niter_per_chunk
         df = float(self.freq.main.df)
         dx = self.dx
@@ -531,13 +543,23 @@ class Fast:
         coherent = bool(self.params["COHERENT"])
         subharm = self.subharmonics
         norm = self._norm
+        synth = self._synth
+        W = self._W_pruned if synth == "matmul" else None
+        pm = self._pm
+        sqrt_psd = self._sqrt_psd
+        if subharm:
+            sqrt_psd_sh = self._sqrt_psd_sh
+            sh_modes = self._sh_modes
+            sh_df = self._sh_df
 
-        @jax.jit
-        def chunk(key, chi, sqrt_psd, pm, sqrt_psd_sh=None, sh_modes=None,
-                  sh_df=None):
+        def chunk(key, chi):
             kmain, ksub = jax.random.split(key)
-            scr = synthesis.synthesize_screens_complex(
-                kmain, sqrt_psd, df, B // 2, crop=crop)
+            if synth == "matmul":
+                scr = synthesis.synthesize_screens_pruned(
+                    kmain, sqrt_psd, df, B // 2, W)
+            else:
+                scr = synthesis.synthesize_screens_complex(
+                    kmain, sqrt_psd, df, B // 2, crop=crop)
             if subharm:
                 scr = scr + synthesis.synthesize_subharm_complex(
                     ksub, sqrt_psd_sh, sh_df, sh_modes, B // 2, crop=crop)
@@ -549,6 +571,28 @@ class Fast:
             return out
 
         return chunk
+
+    def _run_all_fn(self):
+        """One jitted program for the whole run: ``lax.scan`` over chunks.
+
+        A single device dispatch regardless of NCHUNKS — chunking bounds
+        peak memory (the reference used it the same way,
+        ``fast/fast.py:87-93``) while XLA pipelines the chunks.
+        """
+        chunk = self._chunk_body()
+        nchunks = self.Nchunks
+        B = self.Niter_per_chunk
+
+        @jax.jit
+        def run_all(key, chi):
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(nchunks))
+            _, outs = jax.lax.scan(
+                lambda c, inp: (c, chunk(inp[0], inp[1])), 0,
+                (keys, chi.reshape(nchunks, B)))
+            return outs.reshape(nchunks * B)
+
+        return run_all
 
     def _chunk_fn_temporal(self):
         """Jitted per-chunk frozen-flow sampler + detector."""
@@ -583,17 +627,12 @@ class Fast:
         B = self.Niter_per_chunk
         outs = []
         if not self.temporal:
-            chunk = self._chunk_fn()
-            for i in range(self.Nchunks):
-                k = jax.random.fold_in(key_mc, i)
-                if self.subharmonics:
-                    out = chunk(k, chi[i * B:(i + 1) * B], self._sqrt_psd,
-                                self._pm, self._sqrt_psd_sh, self._sh_modes,
-                                self._sh_df)
-                else:
-                    out = chunk(k, chi[i * B:(i + 1) * B], self._sqrt_psd,
-                                self._pm)
-                outs.append(out)
+            run_all = self._run_all_fn()
+            I = np.asarray(run_all(key_mc, chi))
+            self.result = FastResult(I, self.diffraction_limit)
+            self.I = self.result.power  # backwards compatibility
+            logger.info(self.result)
+            return self.result
         else:
             screens = synthesis.synthesize_layer_screens(
                 key_scr, self._sqrt_psd_layers, float(self.freq.main.df))

@@ -30,27 +30,13 @@ def make_mesh(n=None, axis_name="mc", devices=None):
 
 
 def _build_shard_fn(sim, mesh, nchunks, b_local, axis_name="mc"):
-    df = float(sim.freq.main.df)
-    dx = sim.dx
-    crop = sim.pup_crop
-    coherent = bool(sim.params["COHERENT"])
-    subharm = sim.subharmonics
-    norm = sim._norm
-
-    def chunk_body(key, chi):
-        kmain, ksub = jax.random.split(key)
-        scr = synthesis.synthesize_screens_complex(
-            kmain, sim._sqrt_psd, df, b_local // 2, crop=crop)
-        if subharm:
-            scr = scr + synthesis.synthesize_subharm_complex(
-                ksub, sim._sqrt_psd_sh, sim._sh_df, sim._sh_modes,
-                b_local // 2, crop=crop)
-        phs = synthesis.double_screens(scr)
-        pc = synthesis.detector_coupling(phs, sim._pm, dx, norm)
-        out = jnp.exp(chi).astype(pc.real.dtype) * pc
-        if not coherent:
-            out = jnp.abs(out) ** 2
-        return out
+    # reuse the engine's chunk program with a per-device batch size
+    saved_b = sim.Niter_per_chunk
+    sim.Niter_per_chunk = b_local
+    try:
+        chunk_body = sim._chunk_body()
+    finally:
+        sim.Niter_per_chunk = saved_b
 
     @functools.partial(
         shard_map, mesh=mesh,

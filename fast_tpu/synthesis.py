@@ -50,6 +50,40 @@ def synthesize_screens_complex(key, sqrt_powerspec, df, nbatch, crop=None):
     return scr
 
 
+def pruned_ift2_matrix(N, lo, hi, dtype=jnp.complex64):
+    """Slice of the centered inverse-DFT matrix for pruned synthesis.
+
+    ``W[u, v] = exp(2j pi (u - N/2)(v - N/2) / N)`` for output rows
+    ``u in [lo, hi)``. Applying it from both sides computes exactly the
+    pupil-cropped rows/columns of ``ift2(X, 1)`` (same scaling), i.e. only
+    ``Npup/N`` of the transform — as two thin matmuls that run on the MXU
+    instead of the vector units. For ``Npup << N`` this is the fast path on
+    TPU even though it does more arithmetic than an FFT.
+    """
+    u = np.arange(lo, hi) - N / 2
+    v = np.arange(N) - N / 2
+    W = np.exp(2j * np.pi * np.outer(u, v) / N)
+    # host-side constant: embedded at trace time (avoids any device fetch)
+    return W.astype(np.dtype(dtype))
+
+
+def synthesize_screens_pruned(key, sqrt_powerspec, df, nbatch, W):
+    """Pupil-cropped complex screens via pruned centered inverse DFT.
+
+    Equivalent to ``synthesize_screens_complex(..., crop=(lo, hi))`` (up to
+    float32 matmul rounding) but MXU-resident: ``scr = W @ X @ W^T`` with
+    ``X`` the colored noise. ``precision=HIGHEST`` keeps the float32
+    matmuls at full f32 accuracy.
+    """
+    sqrt_ps = jnp.asarray(sqrt_powerspec)
+    cdtype = jnp.complex64 if sqrt_ps.dtype == jnp.float32 else jnp.complex128
+    rand = complex_normal(key, (nbatch,) + sqrt_ps.shape, dtype=cdtype)
+    rand = rand * (sqrt_ps * df)
+    G = jnp.einsum("rk,bkm->brm", W, rand, precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("brm,cm->brc", G, W,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def double_screens(scr):
     """Split complex screens into twice as many real ones (doubling trick)."""
     return jnp.concatenate([scr.real, scr.imag], axis=0)
@@ -66,13 +100,12 @@ def make_subharm_modes(subharm_fx, subharm_fy, N, dx, dtype=jnp.float64):
     if len(coords) == N + 1:
         coords = coords[:-1]
     x, y = np.meshgrid(coords, coords)
-    x = jnp.asarray(x, dtype=dtype)
-    y = jnp.asarray(y, dtype=dtype)
-    fx = jnp.asarray(subharm_fx, dtype=dtype)  # (levels, 3, 3)
-    fy = jnp.asarray(subharm_fy, dtype=dtype)
+    fx = np.asarray(subharm_fx, dtype=np.dtype(dtype))  # (levels, 3, 3)
+    fy = np.asarray(subharm_fy, dtype=np.dtype(dtype))
     phase = (x[None, None, None] * fx[..., None, None]
              + y[None, None, None] * fy[..., None, None])
-    return jnp.exp(1j * phase)
+    cdtype = np.complex64 if np.dtype(dtype) == np.float32 else np.complex128
+    return np.exp(1j * phase).astype(cdtype)
 
 
 def synthesize_subharm_complex(key, sqrt_powerspec_sh, df_sh, modes, nbatch,
