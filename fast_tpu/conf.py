@@ -80,6 +80,8 @@ TPU_DEFAULTS = {
     "PSD_DEVICE": "cpu",    # where to assemble PSDs ('cpu' guarantees f64)
     "SYNTH": "auto",        # screen synthesis: 'auto'|'matmul' (pruned DFT
                             # on the MXU) | 'fft' (batched ifft2)
+    "PRECISION": "highest", # TPU matmul precision for 'matmul' synthesis:
+                            # 'highest' (full f32) | 'high' (bf16x3) | 'default'
 }
 
 

@@ -544,6 +544,7 @@ class Fast:
         subharm = self.subharmonics
         norm = self._norm
         synth = self._synth
+        precision = self.params["PRECISION"]
         W = self._W_pruned if synth == "matmul" else None
         pm = self._pm
         sqrt_psd = self._sqrt_psd
@@ -556,7 +557,7 @@ class Fast:
             kmain, ksub = jax.random.split(key)
             if synth == "matmul":
                 scr = synthesis.synthesize_screens_pruned(
-                    kmain, sqrt_psd, df, B // 2, W)
+                    kmain, sqrt_psd, df, B // 2, W, precision=precision)
             else:
                 scr = synthesis.synthesize_screens_complex(
                     kmain, sqrt_psd, df, B // 2, crop=crop)

@@ -67,21 +67,27 @@ def pruned_ift2_matrix(N, lo, hi, dtype=jnp.complex64):
     return W.astype(np.dtype(dtype))
 
 
-def synthesize_screens_pruned(key, sqrt_powerspec, df, nbatch, W):
+def synthesize_screens_pruned(key, sqrt_powerspec, df, nbatch, W,
+                              precision="highest"):
     """Pupil-cropped complex screens via pruned centered inverse DFT.
 
     Equivalent to ``synthesize_screens_complex(..., crop=(lo, hi))`` (up to
-    float32 matmul rounding) but MXU-resident: ``scr = W @ X @ W^T`` with
-    ``X`` the colored noise. ``precision=HIGHEST`` keeps the float32
-    matmuls at full f32 accuracy.
+    matmul rounding) but MXU-resident: ``scr = W @ X @ W^T`` with ``X`` the
+    colored noise. ``precision`` selects the TPU matmul pass count for
+    float32 inputs ('highest' = full f32; 'high' = bf16x3, ~1e-6 relative
+    phase error, statistically indistinguishable for Monte Carlo use).
     """
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
     sqrt_ps = jnp.asarray(sqrt_powerspec)
     cdtype = jnp.complex64 if sqrt_ps.dtype == jnp.float32 else jnp.complex128
     rand = complex_normal(key, (nbatch,) + sqrt_ps.shape, dtype=cdtype)
     rand = rand * (sqrt_ps * df)
-    G = jnp.einsum("rk,bkm->brm", W, rand, precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("brm,cm->brc", G, W,
-                      precision=jax.lax.Precision.HIGHEST)
+    G = jnp.einsum("rk,bkm->brm", W, rand, precision=prec)
+    return jnp.einsum("brm,cm->brc", G, W, precision=prec)
 
 
 def double_screens(scr):
