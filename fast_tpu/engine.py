@@ -43,6 +43,7 @@ from .ops.rng import make_key
 from . import synthesis
 from .utils import fits
 from .utils.log import init_logging
+from .utils.profiling import StageTimer
 
 logger = logging.getLogger(__name__)
 
@@ -102,19 +103,27 @@ class Fast:
         self._cpu = _cpu_device()
 
         self.init_logging()
+        self.profile = StageTimer()
+        self.timings = self.profile.timings
 
         # host + PSD stages run in float64 on CPU
         ctx = jax.default_device(self._cpu) if self._cpu else _nullcontext()
         with ctx:
-            self.init_atmos()
-            self.init_beam_params()
-            self.init_frequency_grid()
-            self.init_ao_params()
-            self.init_pupil_mask()
-            self.compute_link_budget()
-            self.compute_powerspec()
+            with self.profile.stage("init_geometry"):
+                self.init_atmos()
+                self.init_beam_params()
+                self.init_frequency_grid()
+            with self.profile.stage("init_masks"):
+                self.init_ao_params()
+            with self.profile.stage("init_pupils"):
+                self.init_pupil_mask()
+            with self.profile.stage("link_budget"):
+                self.compute_link_budget()
+            with self.profile.stage("powerspec"):
+                self.compute_powerspec()
 
-        self._prepare_device_constants()
+        with self.profile.stage("device_constants"):
+            self._prepare_device_constants()
 
     # ------------------------------------------------------------------
     # initialisation pipeline
@@ -614,6 +623,10 @@ class Fast:
 
     def run(self):
         """Draw all Monte Carlo realizations; returns :class:`FastResult`."""
+        with self.profile.stage("mc_run"):
+            return self._run()
+
+    def _run(self):
         key = make_key(self.seed, impl=self.params["RNG"])
         key_logamp, key_scr, key_mc = jax.random.split(key, 3)
 

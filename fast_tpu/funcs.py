@@ -101,6 +101,37 @@ def generate_random_coefficients_logamp(key, Nscrns, powerspec, temporal=False,
         dtype=jnp.float64)
 
 
+def make_phase_fft(rand, df, double=False):
+    """Phase screens from pre-colored Fourier coefficients.
+
+    Reference-parity wrapper (``fast/funcs.py:210-223``): ``rand`` already
+    carries ``sqrt(PSD)``; this applies the centered inverse FFT scaling.
+    The pyFFTW arguments of the reference are gone — XLA owns the FFT.
+    """
+    from .ops.fourier import ift2
+    scr = ift2(jnp.asarray(rand) * df, 1.0)
+    if double:
+        return jnp.concatenate([scr.real, scr.imag], axis=0)
+    return scr.real
+
+
+def make_phase_subharm(rand, freq, N, dx, double=False):
+    """Low-order subharmonic screens from pre-colored coefficients.
+
+    Reference-parity wrapper (``fast/funcs.py:225-258``): explicit mode sum
+    over the 3-level 3x3 subharmonic grids, mean-subtracted.
+    """
+    from .synthesis import make_subharm_modes
+    modes = jnp.asarray(make_subharm_modes(freq.subharm.fx, freq.subharm.fy,
+                                           N, dx))
+    weights = jnp.asarray(rand) * freq.subharm.df[:, None, None]
+    scr = jnp.einsum("bimn,imnxy->bxy", weights.astype(modes.dtype), modes)
+    scr = scr - scr.mean(axis=(-2, -1), keepdims=True)
+    if double:
+        return jnp.concatenate([scr.real, scr.imag], axis=0)
+    return scr.real
+
+
 def temporal_autocorrelation(I):
     """Mean-removed autocorrelation of an intensity time series."""
     Icp = np.asarray(I) - np.asarray(I).mean()

@@ -1,0 +1,148 @@
+"""Fused colored-noise screen synthesis (Pallas TPU kernel).
+
+The hot Monte Carlo op is: draw a white complex Gaussian field on the
+N x N frequency grid, color it by ``sqrt(PSD) * df``, and apply the pruned
+centered inverse DFT down to the pupil crop. Done with stock XLA ops this
+materialises the (batch, N, N) complex noise in HBM (~4 GB per 16k-screen
+chunk at 256^2) and runs the uniform->normal conversion as a separate
+bandwidth-bound pass. This kernel fuses the whole pipeline per screen:
+
+    on-chip PRNG bits -> Box-Muller normals -> color by S -> W @ X @ W^T
+
+so the noise never leaves VMEM, and the VPU work (RNG, transcendentals)
+overlaps the MXU matmuls across grid steps. W rows are zero-padded to the
+128-lane tile; padded output rows/columns are zero and cropped by the
+wrapper.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANE = 128
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def _synth_kernel(seed_ref, s_ref, wr_ref, wi_ref, or_ref, oi_ref):
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], b)
+
+    shape = s_ref.shape  # (N, N)
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # 24-bit uniforms in (0, 1): exact in float32. Mosaic lacks a
+    # uint32->f32 cast, so go through int32 (values < 2^24 are safe).
+    i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+    u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+    u2 = i2.astype(jnp.float32) * (2.0 ** -24)
+
+    # Box-Muller: radius shared, cos/sin parts are independent N(0,1)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = (2.0 * np.pi) * u2
+    s = s_ref[:]
+    xr = r * jnp.cos(theta) * s
+    xi = r * jnp.sin(theta) * s
+
+    wr = wr_ref[:]
+    wi = wi_ref[:]
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def dot_t(a, b):  # a @ b.T
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    gr = dot(wr, xr) - dot(wi, xi)
+    gi = dot(wr, xi) + dot(wi, xr)
+    or_ref[0] = dot_t(gr, wr) - dot_t(gi, wi)
+    oi_ref[0] = dot_t(gr, wi) + dot_t(gi, wr)
+
+
+@functools.partial(jax.jit, static_argnames=("nbatch", "npup", "interpret"))
+def _fused_call(seed, s_scaled, wr, wi, nbatch, npup, interpret=False):
+    # Mosaic cannot legalize the 64-bit literals jax_enable_x64 introduces;
+    # trace the kernel in strict 32-bit mode (all operands are f32/i32).
+    with jax.enable_x64(False):
+        return _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret)
+
+
+def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret):
+    N = s_scaled.shape[-1]
+    P = wr.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nbatch,),
+        in_specs=[
+            pl.BlockSpec((N, N), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, P, P), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, P), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out_r, out_i = pl.pallas_call(
+        _synth_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nbatch, P, P), jnp.float32),
+            jax.ShapeDtypeStruct((nbatch, P, P), jnp.float32),
+        ],
+        # the TPU interpreter (not plain interpret=True) supports pltpu.prng_*
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(seed, s_scaled, wr, wi)
+    return jax.lax.complex(out_r[:, :npup, :npup], out_i[:, :npup, :npup])
+
+
+def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False):
+    """Pupil-cropped complex screens, fully fused on-chip.
+
+    Drop-in equivalent (in distribution) of
+    ``synthesis.synthesize_screens_pruned``; the noise stream comes from the
+    TPU hardware PRNG seeded by ``(seed, program_id)`` instead of the JAX
+    key, so values differ from the stock path but the statistics are
+    identical (verified by covariance tests).
+
+    Args:
+        seed: int32 scalar (derive from a JAX key for determinism).
+        sqrt_powerspec: (N, N) float32 ``sqrt(PSD)``.
+        df: frequency-bin spacing.
+        nbatch: number of complex screens (each yields 2 real screens).
+        W: (Npup, N) complex64 pruned inverse-DFT matrix.
+        interpret: run in the Pallas interpreter (CPU testing).
+
+    Returns:
+        (nbatch, Npup, Npup) complex64 screens.
+    """
+    npup, N = W.shape
+    P = _round_up(npup, _LANE)
+    wr = np.zeros((P, N), np.float32)
+    wi = np.zeros((P, N), np.float32)
+    wr[:npup] = np.real(W)
+    wi[:npup] = np.imag(W)
+    s_scaled = (np.asarray(sqrt_powerspec, np.float32) * np.float32(df))
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    return _fused_call(seed, jnp.asarray(s_scaled), jnp.asarray(wr),
+                       jnp.asarray(wi), int(nbatch), int(npup),
+                       interpret=interpret)

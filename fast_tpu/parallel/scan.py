@@ -1,0 +1,140 @@
+"""Parameter-scan sharding: a batch of link configurations x Monte Carlo.
+
+The reference's orbit sweep builds N independent simulations and runs them
+serially (``fast/complete_orbit_simulation.py:217-228``). Here the sweep
+becomes the second mesh axis: configurations (orbit samples, zenith/r0/wind
+grid points) shard over ``scan`` while realizations shard over ``mc``.
+Every device runs the identical jitted program on its (config-block,
+realization-block); no communication is needed until statistics are
+reduced. This is the layout for pod-scale scans (BASELINE.json config 5) —
+``scan`` maps naturally across pod slices (DCN), ``mc`` within a slice
+(ICI).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..engine import FastResult
+from ..ops.rng import make_key
+from .. import synthesis
+
+
+def make_scan_mesh(n_scan, n_mc, devices=None):
+    """2-D ``(scan, mc)`` device mesh."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: n_scan * n_mc]).reshape(n_scan, n_mc)
+    return Mesh(devices, ("scan", "mc"))
+
+
+def run_scan_sharded(sims, mesh, seed=None):
+    """Run a batch of same-geometry simulations over a ``(scan, mc)`` mesh.
+
+    Args:
+        sims: list of initialised :class:`fast_tpu.Fast` objects sharing
+            grid geometry (same NPXLS/DX/pupil/NITER; PSDs may differ —
+            e.g. one per orbit sample). ``len(sims)`` must be divisible by
+            the mesh's scan dimension, ``NITER`` by ``n_mc * NCHUNKS``.
+        mesh: mesh from :func:`make_scan_mesh`.
+        seed: overrides the first sim's seed.
+
+    Returns:
+        list of :class:`FastResult`, one per sim (also stored on each sim).
+    """
+    s0 = sims[0]
+    if s0.temporal:
+        raise NotImplementedError("scan sharding supports TEMPORAL=False")
+    for s in sims[1:]:
+        if (s.Npxls, s.Npxls_pup, s.Niter, s.Nchunks) != (
+                s0.Npxls, s0.Npxls_pup, s0.Niter, s0.Nchunks):
+            raise ValueError("sims must share grid geometry and NITER")
+
+    n_scan, n_mc = mesh.devices.shape
+    nsims = len(sims)
+    if nsims % n_scan != 0:
+        raise ValueError(f"len(sims) ({nsims}) must divide by the scan "
+                         f"mesh dimension ({n_scan})")
+    niter = s0.Niter
+    nchunks = s0.Nchunks
+    if niter % (n_mc * nchunks) != 0:
+        raise ValueError(
+            f"NITER ({niter}) must be divisible by n_mc*NCHUNKS "
+            f"({n_mc}*{nchunks})")
+    b_local = niter // (n_mc * nchunks)
+    if b_local % 2 != 0:
+        raise ValueError("per-device chunk batch must be even")
+
+    df = float(s0.freq.main.df)
+    dx = s0.dx
+    crop = s0.pup_crop
+    coherent = bool(s0.params["COHERENT"])
+    synth = s0._synth
+    precision = s0.params["PRECISION"]
+    W = s0._W_pruned if synth == "matmul" else None
+
+    sqrt_psds = np.stack([s._sqrt_psd for s in sims])  # (nsims, N, N)
+    pms = np.stack([s._pm for s in sims])
+    norms = np.asarray([s._norm for s in sims], np.float32)
+
+    key = make_key(seed if seed is not None else s0.seed,
+                   impl=s0.params["RNG"])
+    key_logamp, key_mc = jax.random.split(key)
+    chi = jnp.stack([
+        synthesis.draw_logamp(jax.random.fold_in(key_logamp, i), niter,
+                              sims[i].logamp_var, dtype=s0.dtype)
+        for i in range(nsims)
+    ])  # (nsims, niter)
+
+    local_sims = nsims // n_scan
+
+    def chunk_body(key, chi_c, sqrt_psd, pm, norm):
+        if synth == "matmul":
+            scr = synthesis.synthesize_screens_pruned(
+                key, sqrt_psd, df, b_local // 2, W, precision=precision)
+        else:
+            scr = synthesis.synthesize_screens_complex(
+                key, sqrt_psd, df, b_local // 2, crop=crop)
+        phs = synthesis.double_screens(scr)
+        pc = synthesis.detector_coupling(phs, pm, dx, norm)
+        out = jnp.exp(chi_c).astype(pc.real.dtype) * pc
+        if not coherent:
+            out = jnp.abs(out) ** 2
+        return out
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P("scan"), P("scan"), P("scan"), P("scan", "mc")),
+        out_specs=P("scan", "mc"))
+    def shard_fn(key_data, sqrt_psd, pm, norm, chi):
+        key = jax.random.wrap_key_data(key_data)
+        key = jax.random.fold_in(key, jax.lax.axis_index("scan"))
+        key = jax.random.fold_in(key, jax.lax.axis_index("mc"))
+        outs = []
+        for s in range(local_sims):
+            ks = jax.random.fold_in(key, s)
+            rows = []
+            for i in range(nchunks):
+                ki = jax.random.fold_in(ks, i)
+                rows.append(chunk_body(
+                    ki, chi[s, i * b_local:(i + 1) * b_local],
+                    sqrt_psd[s], pm[s], norm[s]))
+            outs.append(jnp.concatenate(rows))
+        return jnp.stack(outs)
+
+    with mesh:
+        out = jax.jit(shard_fn)(jax.random.key_data(key_mc),
+                                jnp.asarray(sqrt_psds), jnp.asarray(pms),
+                                jnp.asarray(norms), chi)
+
+    out = np.asarray(out)
+    results = []
+    for i, s in enumerate(sims):
+        s.result = FastResult(out[i], s.diffraction_limit)
+        s.I = s.result.power
+        results.append(s.result)
+    return results

@@ -2,5 +2,6 @@
 
 from . import fits
 from . import log
+from . import profiling
 
-__all__ = ["fits", "log"]
+__all__ = ["fits", "log", "profiling"]

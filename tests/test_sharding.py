@@ -61,6 +61,34 @@ def test_sharded_moments(mesh8):
     assert np.isclose(m[1], (x ** 2).mean(), atol=1e-2)
 
 
+def test_scan_sharded(mesh8):
+    """2-D (scan, mc) mesh: 4 zenith angles x 2-way MC sharding."""
+    scan_mesh = parallel.make_scan_mesh(2, 4)
+    sims = [
+        fast_tpu.Fast(make_test_params(
+            TEMPORAL=False, NITER=1600, NCHUNKS=2, SEED=7, ZENITH_ANGLE=z,
+            NPXLS=164))
+        for z in (30, 40, 50, 60)
+    ]
+    results = parallel.run_scan_sharded(sims, scan_mesh)
+    assert len(results) == 4
+    means = [np.asarray(r.power).mean() / s.diffraction_limit
+             for r, s in zip(results, sims)]
+    for m, r in zip(means, results):
+        assert np.isfinite(np.asarray(r.power)).all()
+    # higher zenith angle -> more turbulence -> lower mean coupling
+    assert means[0] > means[-1]
+
+    # statistics agree with an unsharded run of the same config
+    solo = fast_tpu.Fast(make_test_params(
+        TEMPORAL=False, NITER=1600, NCHUNKS=2, SEED=7, ZENITH_ANGLE=60,
+        NPXLS=164))
+    r_solo = np.asarray(solo.run().power) / solo.diffraction_limit
+    r_scan = np.asarray(results[-1].power) / sims[-1].diffraction_limit
+    se = np.sqrt(r_solo.var() / len(r_solo) + r_scan.var() / len(r_scan))
+    assert abs(r_solo.mean() - r_scan.mean()) < 4 * se
+
+
 def test_coherent_sharded(mesh8):
     p = make_test_params(TEMPORAL=False, NITER=1600, NCHUNKS=1, SEED=3,
                          COHERENT=True)
