@@ -523,7 +523,7 @@ class Fast:
         if synth == "auto":
             synth = "matmul" if dt == np.float32 else "fft"
         self._synth = synth
-        if synth == "matmul":
+        if synth in ("matmul", "pallas"):
             self._W_pruned = synthesis.pruned_ift2_matrix(
                 self.Npxls, *self.pup_crop,
                 dtype=np.complex64 if dt == np.float32 else np.complex128)
@@ -554,7 +554,7 @@ class Fast:
         norm = self._norm
         synth = self._synth
         precision = self.params["PRECISION"]
-        W = self._W_pruned if synth == "matmul" else None
+        W = self._W_pruned if synth in ("matmul", "pallas") else None
         pm = self._pm
         sqrt_psd = self._sqrt_psd
         if subharm:
@@ -564,16 +564,26 @@ class Fast:
 
         def chunk(key, chi):
             kmain, ksub = jax.random.split(key)
-            if synth == "matmul":
-                scr = synthesis.synthesize_screens_pruned(
-                    kmain, sqrt_psd, df, B // 2, W, precision=precision)
+            if synth == "pallas":
+                from .ops.pallas_synth import fused_synthesis
+                seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
+                phs = fused_synthesis(seed, sqrt_psd, df, B // 2, W)
+                if subharm:
+                    phs = phs + synthesis.double_screens(
+                        synthesis.synthesize_subharm_complex(
+                            ksub, sqrt_psd_sh, sh_df, sh_modes, B // 2,
+                            crop=crop))
             else:
-                scr = synthesis.synthesize_screens_complex(
-                    kmain, sqrt_psd, df, B // 2, crop=crop)
-            if subharm:
-                scr = scr + synthesis.synthesize_subharm_complex(
-                    ksub, sqrt_psd_sh, sh_df, sh_modes, B // 2, crop=crop)
-            phs = synthesis.double_screens(scr)
+                if synth == "matmul":
+                    scr = synthesis.synthesize_screens_pruned(
+                        kmain, sqrt_psd, df, B // 2, W, precision=precision)
+                else:
+                    scr = synthesis.synthesize_screens_complex(
+                        kmain, sqrt_psd, df, B // 2, crop=crop)
+                if subharm:
+                    scr = scr + synthesis.synthesize_subharm_complex(
+                        ksub, sqrt_psd_sh, sh_df, sh_modes, B // 2, crop=crop)
+                phs = synthesis.double_screens(scr)
             pc = synthesis.detector_coupling(phs, pm, dx, norm)
             out = jnp.exp(chi).astype(pc.real.dtype) * pc
             if not coherent:

@@ -112,28 +112,32 @@ def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret):
         # the TPU interpreter (not plain interpret=True) supports pltpu.prng_*
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, s_scaled, wr, wi)
-    return jax.lax.complex(out_r[:, :npup, :npup], out_i[:, :npup, :npup])
+    # real and imaginary parts are two independent screens (doubling trick);
+    # return them stacked as floats — complex arrays at program boundaries
+    # are not supported by all TPU runtimes
+    return jnp.concatenate(
+        [out_r[:, :npup, :npup], out_i[:, :npup, :npup]], axis=0)
 
 
 def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False):
-    """Pupil-cropped complex screens, fully fused on-chip.
+    """Pupil-cropped phase screens, fully fused on-chip.
 
-    Drop-in equivalent (in distribution) of
-    ``synthesis.synthesize_screens_pruned``; the noise stream comes from the
-    TPU hardware PRNG seeded by ``(seed, program_id)`` instead of the JAX
-    key, so values differ from the stock path but the statistics are
-    identical (verified by covariance tests).
+    Distribution-equivalent to ``double_screens(synthesize_screens_pruned
+    (...))``; the noise stream comes from the TPU hardware PRNG seeded by
+    ``(seed, program_id)`` instead of the JAX key, so values differ from
+    the stock path but the statistics are identical (verified by
+    covariance tests).
 
     Args:
         seed: int32 scalar (derive from a JAX key for determinism).
         sqrt_powerspec: (N, N) float32 ``sqrt(PSD)``.
         df: frequency-bin spacing.
-        nbatch: number of complex screens (each yields 2 real screens).
+        nbatch: number of complex draws (yields ``2 * nbatch`` screens).
         W: (Npup, N) complex64 pruned inverse-DFT matrix.
         interpret: run in the Pallas interpreter (CPU testing).
 
     Returns:
-        (nbatch, Npup, Npup) complex64 screens.
+        (2 * nbatch, Npup, Npup) float32 phase screens.
     """
     npup, N = W.shape
     P = _round_up(npup, _LANE)
