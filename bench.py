@@ -57,7 +57,8 @@ def main():
         print(f"# measured reference CPU: {ref_rps:.1f} r/s", file=sys.stderr)
 
     sim = fast_tpu.Fast(g._flagship_params(
-        npxls=256, niter=NITER, nchunks=NCHUNKS, RNG="rbg"))
+        npxls=256, niter=NITER, nchunks=NCHUNKS, RNG="rbg",
+        SYNTH=os.environ.get("FAST_TPU_SYNTH", "pallas")))
     run_all = sim._run_all_fn()
     key = jax.random.key(0, impl="rbg")
     chi = jnp.zeros((NITER,), jnp.float32)

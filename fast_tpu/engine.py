@@ -35,7 +35,8 @@ from . import conf
 from .grids import SpatialFrequencies
 from .models import ao as ao_spectra
 from .models import atmosphere
-from .models.scintillation import PupilFilterSampler, logamp_powerspec
+from .models.scintillation import (PupilFilterSampler, logamp_powerspec,
+                                   temporal_logamp_powerspec)
 from .ops import apertures
 from .ops.fourier import ft2, ift2
 from .ops.integrate import integrate_path, integrate_powerspectrum
@@ -254,9 +255,14 @@ class Fast:
 
         self.subharmonics = p["SUBHARM"]
         if self.temporal:
+            # materialized meshes are only kept for modest sizes (they are
+            # informational; the engine itself streams over the axes)
+            self._temporal_materialized = (
+                len(self.h) * self.Npxls * self.Niter <= 2 ** 25)
             self.freq.make_temporal_freqs(
                 len(self.h), self.Npxls, self.Niter, self.wind_speed,
-                self.wind_dir, self.dt)
+                self.wind_dir, self.dt,
+                materialize=self._temporal_materialized)
             if self.subharmonics:
                 logger.info("SUBHARM not used in TEMPORAL mode")
                 self.subharmonics = False
@@ -290,7 +296,7 @@ class Fast:
             self.lf_mask_subharm = np.asarray(ao_spectra.mask_lf(
                 self.freq.subharm, self.Dsubap, modal=self.modal,
                 modal_mult=self.modal_mult, Zmax=self.Zmax, D=self.D_ground))
-        if self.temporal:
+        if self.temporal and self._temporal_materialized:
             self.lf_mask_temporal = np.asarray(ao_spectra.mask_lf(
                 self.freq.temporal, self.Dsubap, modal=self.modal,
                 modal_mult=self.modal_mult, Zmax=self.Zmax, D=self.D_ground))
@@ -500,12 +506,12 @@ class Fast:
             dts = np.arange(1, self.Niter_per_chunk + 1) * self.dt
             self.pixel_shifts = dts * self.wind_vector[..., np.newaxis] / self.dx
 
-            tl = logamp_powerspec(
-                freq.temporal, self.h, self.cn2, self.wvl,
-                pupilfilter=self.pupil_filter_temporal, layer=True,
-                L0=self.L0, l0=self.l0)
-            self.temporal_logamp_powerspec = np.asarray(
-                tl.sum(-2) * freq.main.dfy)
+            # streamed per-temporal-bin assembly: O(Ny * block) memory
+            # instead of the reference's O(nlayers * Ny * NITER)
+            self.temporal_logamp_powerspec = temporal_logamp_powerspec(
+                freq.temporal.fx_axis, freq.temporal.fy_axis, self.h,
+                self.cn2, self.wvl, self.pupil_filter_temporal,
+                float(freq.main.dfy), L0=self.L0, l0=self.l0)
 
     # ------------------------------------------------------------------
     # Monte Carlo run

@@ -77,6 +77,19 @@ class SpatialFrequencyStruct:
         return dx, dy
 
 
+class _AxesOnlyStruct:
+    """Axes-only frequency metadata (no meshed fx/fy/fabs arrays)."""
+
+    def __init__(self, fx_axis, fy_axis, rot):
+        self.fx_axis = fx_axis
+        self.fy_axis = fy_axis
+        self.rot = rot
+        self.freq_per_layer = True
+        self.dfx = fx_axis[..., 1] - fx_axis[..., 0]
+        self.dfy = fy_axis[..., 1] - fy_axis[..., 0]
+        self.df = None
+
+
 class SpatialFrequencies:
     """Factory for the main / subharmonic / temporal / log-amplitude grids."""
 
@@ -103,13 +116,18 @@ class SpatialFrequencies:
             fx_axes.append(np.arange(-1, 2) * df_lo)
         self.subharm = SpatialFrequencyStruct(np.array(fx_axes))
 
-    def make_temporal_freqs(self, nlayer, Ny, Nx, wind_speed, wind_dir, dt):
+    def make_temporal_freqs(self, nlayer, Ny, Nx, wind_speed, wind_dir, dt,
+                            materialize=True):
         """Per-layer grids whose x-axes align to temporal frequency bins.
 
         The x-axis spacing ``1/(Nx * v_i * dt)`` is in linear spatial
         frequency and is chosen so index ``k`` maps to the *same* temporal
         frequency ``k/(Nx*dt)`` in every layer, letting per-layer spectra be
         summed bin-wise (reference ``fast/fast.py:846-864``).
+
+        ``materialize=False`` stores only the axes and rotation (memory
+        O(Nx + Ny) instead of O(nlayer * Ny * Nx)); the engine's streamed
+        temporal PSD assembly needs nothing more.
         """
         fx_axes = []
         fy_axes = []
@@ -118,9 +136,13 @@ class SpatialFrequencies:
             df_temporal = 1 / (Nx * dxl)  # linear spatial frequency
             fx_axes.append(np.arange(-Nx / 2, Nx / 2) * df_temporal)
             fy_axes.append(np.arange(-Ny / 2, Ny / 2) * self.main.dfy)
-        self.temporal = SpatialFrequencyStruct(
-            np.array(fx_axes), np.array(fy_axes),
-            rot=np.radians(wind_dir), freq_per_layer=True)
+        if materialize:
+            self.temporal = SpatialFrequencyStruct(
+                np.array(fx_axes), np.array(fy_axes),
+                rot=np.radians(wind_dir), freq_per_layer=True)
+        else:
+            self.temporal = _AxesOnlyStruct(
+                np.array(fx_axes), np.array(fy_axes), np.radians(wind_dir))
 
     def make_logamp_freqs(self, Nx=None, dx=None, Ny=None, dy=None):
         if Nx is None and dx is None:

@@ -52,6 +52,55 @@ class PupilFilterSampler:
                 + v10 * fr * (1 - fc) + v11 * fr * fc)
 
 
+def temporal_logamp_powerspec(fx_axes, fy_axes, h, cn2, wvl, sampler,
+                              dfy, L0=np.inf, l0=1e-6, block=8192):
+    """1-D temporal log-amplitude PSD, streamed over temporal-frequency blocks.
+
+    Computes ``sum_y logamp_PSD(f) * dfy`` per temporal bin without ever
+    materialising the (nlayers, Ny, Nx) per-layer grids the reference
+    builds (``fast/fast.py:581-587`` with ``fast/fast.py:846-864``), whose
+    memory grows linearly with NITER. Works because the von Karman +
+    Fresnel terms depend only on ``|f|``, which is invariant under the
+    per-layer wind rotation, and the pupil filter is sampled on the
+    *unrotated* axes (reference ``ao_power_spectra.py:291-295``).
+
+    Args:
+        fx_axes: (nlayers, Nx) per-layer temporal x-axes (linear frequency).
+        fy_axes: (nlayers, Ny) per-layer y-axes.
+        h, cn2: per-layer heights and Cn2 dh.
+        wvl: wavelength.
+        sampler: :class:`PupilFilterSampler`.
+        dfy: main-grid y-frequency spacing (integration weight).
+        block: temporal bins per streamed block.
+
+    Returns:
+        (Nx,) array: the per-temporal-bin PSD, summed over layers.
+    """
+    fx_axes = np.asarray(fx_axes)
+    fy_axes = np.asarray(fy_axes)
+    h = np.asarray(h, dtype=float)
+    cn2 = np.asarray(cn2, dtype=float)
+    nlayers, Nx = fx_axes.shape
+
+    km = 5.92 / l0
+    k0 = (2 * np.pi) / L0
+    pref = 2 * np.pi * (2 * np.pi / wvl) ** 2
+
+    out = np.zeros(Nx)
+    for i in range(nlayers):
+        fy = jnp.asarray(fy_axes[i])[:, None]  # (Ny, 1)
+        for lo_b in range(0, Nx, block):
+            fx = jnp.asarray(fx_axes[i, lo_b:lo_b + block])[None, :]
+            fabs2 = fx ** 2 + fy ** 2
+            spec = 0.033 * cn2[i] * jnp.exp(-fabs2 / km ** 2) \
+                / (fabs2 + k0 ** 2) ** (11 / 6.0)
+            spec = jnp.where(jnp.isinf(spec), 0.0, spec)
+            spec = spec * pref * jnp.sin(wvl * h[i] * fabs2 / (4 * np.pi)) ** 2
+            spec = spec * sampler(fy_axes[i], fx_axes[i, lo_b:lo_b + block])
+            out[lo_b:lo_b + block] += np.asarray(spec.sum(0) * dfy)
+    return out
+
+
 def logamp_powerspec(freq, h, cn2, wvl, pupilfilter=None, layer=True,
                      L0=np.inf, l0=1e-6):
     """Path-integrated log-amplitude PSD on the given frequency grid.
