@@ -529,7 +529,7 @@ class Fast:
         if synth == "auto":
             synth = "matmul" if dt == np.float32 else "fft"
         self._synth = synth
-        if synth in ("matmul", "pallas"):
+        if synth in ("matmul", "pallas", "pallas_fused"):
             self._W_pruned = synthesis.pruned_ift2_matrix(
                 self.Npxls, *self.pup_crop,
                 dtype=np.complex64 if dt == np.float32 else np.complex128)
@@ -560,7 +560,8 @@ class Fast:
         norm = self._norm
         synth = self._synth
         precision = self.params["PRECISION"]
-        W = self._W_pruned if synth in ("matmul", "pallas") else None
+        W = (self._W_pruned
+             if synth in ("matmul", "pallas", "pallas_fused") else None)
         pm = self._pm
         sqrt_psd = self._sqrt_psd
         if subharm:
@@ -570,7 +571,16 @@ class Fast:
 
         def chunk(key, chi):
             kmain, ksub = jax.random.split(key)
-            if synth == "pallas":
+            if synth == "pallas_fused" and not subharm:
+                from .ops.pallas_synth import fused_synthesis_detect
+                seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
+                c = fused_synthesis_detect(seed, sqrt_psd, df, B // 2, W, pm)
+                pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2 / norm)
+                out = jnp.exp(chi).astype(jnp.float32) * pc
+                if not coherent:
+                    return jnp.abs(out) ** 2
+                return jnp.stack([out.real, out.imag], axis=-1)
+            if synth == "pallas" or (synth == "pallas_fused" and subharm):
                 from .ops.pallas_synth import fused_synthesis
                 seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
                 phs = fused_synthesis(seed, sqrt_psd, df, B // 2, W)
@@ -593,8 +603,10 @@ class Fast:
             pc = synthesis.detector_coupling(phs, pm, dx, norm)
             out = jnp.exp(chi).astype(pc.real.dtype) * pc
             if not coherent:
-                out = jnp.abs(out) ** 2
-            return out
+                return jnp.abs(out) ** 2
+            # complex arrays at program boundaries are not supported by all
+            # TPU runtimes: ship (real, imag) floats, recombine on host
+            return jnp.stack([out.real, out.imag], axis=-1)
 
         return chunk
 
@@ -616,9 +628,17 @@ class Fast:
             _, outs = jax.lax.scan(
                 lambda c, inp: (c, chunk(inp[0], inp[1])), 0,
                 (keys, chi.reshape(nchunks, B)))
-            return outs.reshape(nchunks * B)
+            return outs.reshape((nchunks * B,) + outs.shape[2:])
 
         return run_all
+
+    @staticmethod
+    def _combine_complex(arr, coherent):
+        """Recombine (…, 2) real/imag float output into complex on host."""
+        arr = np.asarray(arr)
+        if coherent:
+            return arr[..., 0] + 1j * arr[..., 1]
+        return arr
 
     def _chunk_fn_temporal(self):
         """Jitted per-chunk frozen-flow sampler + detector."""
@@ -632,8 +652,10 @@ class Fast:
             pc = synthesis.detector_coupling(phs, pm, dx, norm)
             out = jnp.exp(chi).astype(pc.real.dtype) * pc
             if not coherent:
-                out = jnp.abs(out) ** 2
-            return out
+                return jnp.abs(out) ** 2
+            # complex arrays at program boundaries are not supported by all
+            # TPU runtimes: ship (real, imag) floats, recombine on host
+            return jnp.stack([out.real, out.imag], axis=-1)
 
         return chunk
 
@@ -655,10 +677,11 @@ class Fast:
         chi = jnp.asarray(self.logamp)
 
         B = self.Niter_per_chunk
+        coherent = bool(self.params["COHERENT"])
         outs = []
         if not self.temporal:
             run_all = self._run_all_fn()
-            I = np.asarray(run_all(key_mc, chi))
+            I = self._combine_complex(run_all(key_mc, chi), coherent)
             self.result = FastResult(I, self.diffraction_limit)
             self.I = self.result.power  # backwards compatibility
             logger.info(self.result)
@@ -678,11 +701,66 @@ class Fast:
                 outs.append(out)
                 base = base + self.pixel_shifts[:, :, -1, np.newaxis, np.newaxis]
 
-        I = np.concatenate([np.asarray(o) for o in outs])
+        I = np.concatenate(
+            [self._combine_complex(o, coherent) for o in outs])
         self.result = FastResult(I, self.diffraction_limit)
         self.I = self.result.power  # backwards compatibility
         logger.info(self.result)
         return self.result
+
+    def sample_screens(self, nscreens=2, key=None):
+        """Draw pupil-cropped residual phase screens for inspection.
+
+        Reference-API analogue of ``Fast.compute_phs`` (``fast.py:589-605``)
+        without mutating run state. Returns (nscreens, Npup, Npup).
+        """
+        if key is None:
+            key = make_key(self.seed, impl=self.params["RNG"])
+        n2 = max(1, nscreens // 2 + nscreens % 2)
+        scr = synthesis.synthesize_screens_complex(
+            key, jnp.asarray(self._sqrt_psd), float(self.freq.main.df), n2,
+            crop=self.pup_crop)
+        if self.subharmonics:
+            scr = scr + synthesis.synthesize_subharm_complex(
+                jax.random.fold_in(key, 1), jnp.asarray(self._sqrt_psd_sh),
+                jnp.asarray(self._sh_df), jnp.asarray(self._sh_modes), n2,
+                crop=self.pup_crop)
+        phs = synthesis.double_screens(scr)
+        self.phs = np.asarray(phs[:nscreens])
+        return self.phs
+
+    compute_phs = sample_screens  # reference-name alias
+
+    def validate(self):
+        """Sanity-check the precomputed spectra; raises on corruption.
+
+        Failure-detection hook (SURVEY.md §5.3): every PSD must be finite
+        and non-negative, masks within [0, 1], and the link budget finite.
+        """
+        problems = []
+
+        def _chk(name, arr, lo=None, hi=None):
+            a = np.asarray(arr, dtype=float)
+            if not np.isfinite(a).all():
+                problems.append(f"{name} contains non-finite values")
+            if lo is not None and (a < lo).any():
+                problems.append(f"{name} below {lo}")
+            if hi is not None and (a > hi + 1e-9).any():
+                problems.append(f"{name} above {hi}")
+
+        _chk("powerspec", self.powerspec, lo=0)
+        _chk("logamp_powerspec", self.logamp_powerspec, lo=0)
+        _chk("lf_mask", self.lf_mask, lo=0, hi=1)
+        _chk("pupil", self.pupil, lo=0)
+        _chk("link_budget", list(self.link_budget.values()))
+        if self.subharmonics:
+            _chk("powerspec_subharm", self.powerspec_subharm, lo=0)
+        if self.temporal:
+            _chk("temporal_logamp_powerspec",
+                 self.temporal_logamp_powerspec, lo=0)
+        if problems:
+            raise ValueError("simulation state invalid: " + "; ".join(problems))
+        return True
 
     # ------------------------------------------------------------------
     # analytic (MC-free) outputs

@@ -119,6 +119,122 @@ def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret):
         [out_r[:, :npup, :npup], out_i[:, :npup, :npup]], axis=0)
 
 
+def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref, out_ref):
+    """Synthesis + pupil-overlap detector, fully fused.
+
+    Like :func:`_synth_kernel` but reduces each screen on-chip to one
+    complex coupling ``sum(pm * exp(i*phi))``, so a chunk's HBM output is a
+    few floats per realization instead of a screen. The four reduction
+    scalars are packed into lanes 0..3 of a (1, 128) output row (scalar
+    blocks do not satisfy the TPU tiling rules). Padded rows/cols
+    contribute nothing (``pm`` is zero there).
+    """
+    b = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], b)
+
+    shape = s_ref.shape
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+    u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+    u2 = i2.astype(jnp.float32) * (2.0 ** -24)
+
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = (2.0 * np.pi) * u2
+    s = s_ref[:]
+    xr = r * jnp.cos(theta) * s
+    xi = r * jnp.sin(theta) * s
+
+    wr = wr_ref[:]
+    wi = wi_ref[:]
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def dot_t(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    gr = dot(wr, xr) - dot(wi, xi)
+    gi = dot(wr, xi) + dot(wi, xr)
+    phi1 = dot_t(gr, wr) - dot_t(gi, wi)
+    phi2 = dot_t(gr, wi) + dot_t(gi, wr)
+
+    pm = pm_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi1)), 0.0)
+              + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi1)), 0.0)
+              + jnp.where(lane == 2, jnp.sum(pm * jnp.cos(phi2)), 0.0)
+              + jnp.where(lane == 3, jnp.sum(pm * jnp.sin(phi2)), 0.0))
+    out_ref[0] = packed
+
+
+@functools.partial(jax.jit, static_argnames=("nbatch", "interpret"))
+def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False):
+    with jax.enable_x64(False):
+        N = s_scaled.shape[-1]
+        P = wr.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nbatch,),
+            in_specs=[
+                pl.BlockSpec((N, N), lambda b, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, N), lambda b, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, N), lambda b, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, P), lambda b, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, _LANE), lambda b, *_: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+            ],
+        )
+        [out] = pl.pallas_call(
+            _synth_detect_kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nbatch, 1, _LANE), jnp.float32)],
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(seed, s_scaled, wr, wi, pm)
+        out = out[:, 0, :4]  # (nbatch, 4) = [c1r, c1i, c2r, c2i]
+        # (2*nbatch, 2): screens from real parts first, then imag parts
+        return jnp.stack(
+            [jnp.concatenate([out[:, 0], out[:, 2]]),
+             jnp.concatenate([out[:, 1], out[:, 3]])], axis=-1)
+
+
+def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
+                           interpret=False):
+    """Monte Carlo couplings straight from the PRNG, one fused kernel.
+
+    Returns (2*nbatch, 2) float32: the unnormalised complex coupling
+    ``sum(pm * exp(i*phi))`` per screen as (real, imag). Multiply by
+    ``dx^2 / norm`` downstream.
+    """
+    npup, N = W.shape
+    P = _round_up(npup, _LANE)
+    wr = np.zeros((P, N), np.float32)
+    wi = np.zeros((P, N), np.float32)
+    wr[:npup] = np.real(W)
+    wi[:npup] = np.imag(W)
+    pm = np.zeros((P, P), np.float32)
+    pm[:npup, :npup] = np.asarray(pupil_mode, np.float32)
+    s_scaled = np.asarray(sqrt_powerspec, np.float32) * np.float32(df)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    return _fused_detect_call(seed, jnp.asarray(s_scaled), jnp.asarray(wr),
+                              jnp.asarray(wi), jnp.asarray(pm), int(nbatch),
+                              interpret=interpret)
+
+
 def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False):
     """Pupil-cropped phase screens, fully fused on-chip.
 

@@ -97,7 +97,8 @@ def run_sharded(sim, mesh=None, seed=None):
     with mesh:
         out = shard_fn(jax.random.key_data(key_mc), chi)
 
-    I = np.asarray(out)
+    from ..engine import Fast
+    I = Fast._combine_complex(out, bool(sim.params["COHERENT"]))
     sim.result = FastResult(I, sim.diffraction_limit)
     sim.I = sim.result.power
     return sim.result

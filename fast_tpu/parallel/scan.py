@@ -103,8 +103,8 @@ def run_scan_sharded(sims, mesh, seed=None):
         pc = synthesis.detector_coupling(phs, pm, dx, norm)
         out = jnp.exp(chi_c).astype(pc.real.dtype) * pc
         if not coherent:
-            out = jnp.abs(out) ** 2
-        return out
+            return jnp.abs(out) ** 2
+        return jnp.stack([out.real, out.imag], axis=-1)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -131,7 +131,8 @@ def run_scan_sharded(sims, mesh, seed=None):
                                 jnp.asarray(sqrt_psds), jnp.asarray(pms),
                                 jnp.asarray(norms), chi)
 
-    out = np.asarray(out)
+    from ..engine import Fast
+    out = Fast._combine_complex(out, coherent)
     results = []
     for i, s in enumerate(sims):
         s.result = FastResult(out[i], s.diffraction_limit)

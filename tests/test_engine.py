@@ -107,6 +107,27 @@ def test_phase_variance_of_screens():
     assert abs(var - sim.phs_var) / sim.phs_var < 0.1
 
 
+def test_sample_screens_and_validate():
+    sim = fast_tpu.Fast(make_test_params(TEMPORAL=False))
+    phs = sim.sample_screens(4)
+    assert phs.shape == (4, sim.Npxls_pup, sim.Npxls_pup)
+    assert np.isfinite(phs).all()
+    assert sim.validate() is True
+    # corruption is detected
+    sim.powerspec[0, 0] = np.nan
+    with pytest.raises(ValueError, match="powerspec"):
+        sim.validate()
+
+
+def test_stage_timings():
+    sim = fast_tpu.Fast(make_test_params(TEMPORAL=False))
+    for stage in ("init_geometry", "init_pupils", "powerspec"):
+        assert stage in sim.timings
+        assert sim.timings[stage] >= 0
+    sim.run()
+    assert "mc_run" in sim.timings
+
+
 def test_result_units():
     r = fast_tpu.FastResult(np.array([0.5, 1.0, 2.0]), 2e-6)
     assert np.allclose(r.power, [1e-6, 2e-6, 4e-6])

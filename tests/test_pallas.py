@@ -26,6 +26,17 @@ def test_interpret_shapes():
     assert np.isfinite(np.asarray(phs)).all()
 
 
+def test_interpret_fused_detect_shapes():
+    N, lo, hi = 64, 20, 44
+    sqrt_ps = np.ones((N, N), np.float32)
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex64)
+    pm = np.ones((24, 24), np.float32)
+    c = pallas_synth.fused_synthesis_detect(1, sqrt_ps, 0.3, 6, W, pm,
+                                            interpret=True)
+    assert c.shape == (12, 2)
+    assert np.isfinite(np.asarray(c)).all()
+
+
 @pytest.mark.skipif(not on_tpu, reason="needs TPU hardware PRNG")
 def test_statistics_on_tpu():
     N, lo, hi = 64, 20, 44
