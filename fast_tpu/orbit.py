@@ -315,6 +315,32 @@ def FAST_sat_orbit(fast_params, simu_params, TLE_file):
     return FAST_sat_orbit_from_geometry(fast_params, geometry)
 
 
+def run_orbit_sweep(sims, mesh=None, seed=None):
+    """Run an orbit sweep's simulations as one sharded parameter scan.
+
+    Takes the dict produced by :func:`FAST_sat_orbit` /
+    :func:`FAST_sat_orbit_from_geometry` (the reference ran each sample
+    serially; here the samples form the ``scan`` mesh axis). Simulations
+    must share grid geometry — pass explicit ``NPXLS``/``DX`` in
+    ``fast_params`` so the per-sample 'auto' rules don't produce different
+    grids. Falls back to serial execution when no mesh is given.
+
+    Returns:
+        dict mapping ``simulation_i`` -> :class:`FastResult`.
+    """
+    keys = [k for k in sims if k.startswith("simulation_")]
+    keys.sort(key=lambda k: int(k.split("_")[1]))
+    sim_list = [sims[k] for k in keys]
+
+    if mesh is None:
+        return {k: s.run() for k, s in zip(keys, sim_list)}
+
+    from .parallel.scan import run_scan_sharded
+
+    results = run_scan_sharded(sim_list, mesh, seed=seed)
+    return dict(zip(keys, results))
+
+
 def FAST_sat(sat_apparent_speed, fast_params):
     """Single simulation with ANISO_DL set from the apparent satellite speed."""
     from .engine import Fast

@@ -56,6 +56,28 @@ def test_fast_sat_orbit_from_geometry():
                       geo["zenith_angles"][1])
 
 
+def test_run_orbit_sweep_sharded():
+    """Full pipeline: ephemeris -> geometry -> per-sample sims -> sharded scan."""
+    import jax
+    from fast_tpu import parallel
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    provider = orbit.circular_orbit_provider(550e3, offset_angle_deg=10.0)
+    times = np.linspace(-60, 60, 4)
+    p = make_test_params(TEMPORAL=False, NITER=320, NCHUNKS=2, NPXLS=164,
+                         SEED=3)
+    geo = orbit.sample_pass_geometry(provider, times, p["TLOOP"])
+    sims = orbit.FAST_sat_orbit_from_geometry(p, geo)
+
+    mesh = parallel.make_scan_mesh(2, 4)
+    results = orbit.run_orbit_sweep(sims, mesh=mesh)
+    assert len(results) == 4
+    for r in results.values():
+        assert np.isfinite(np.asarray(r.power)).all()
+
+
 def test_fast_sat():
     p = make_test_params(TEMPORAL=False, NITER=20, NCHUNKS=2)
     sim = orbit.FAST_sat(np.array([100.0, 0.0]), p)
