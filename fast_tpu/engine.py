@@ -640,24 +640,48 @@ class Fast:
             return arr[..., 0] + 1j * arr[..., 1]
         return arr
 
-    def _chunk_fn_temporal(self):
-        """Jitted per-chunk frozen-flow sampler + detector."""
+    def _run_all_fn_temporal(self):
+        """One jitted frozen-flow program: ``lax.scan`` over chunks.
+
+        The per-chunk trajectory is affine in the chunk index
+        (``base + i * per-chunk shift``), so the whole time series runs as
+        a single device dispatch; the reference advanced coordinates
+        host-side between chunks (``fast/fast.py:635``).
+        """
         dx = self.dx
         coherent = bool(self.params["COHERENT"])
         norm = self._norm
+        pm = self._pm
+        nchunks = self.Nchunks
+        B = self.Niter_per_chunk
+        dt = np.dtype(str(self.dtype))
+        # (nlayers, 2, T, Npup) chunk-0 trajectory + per-chunk advance
+        base0 = (self.pup_coords[np.newaxis, :, np.newaxis, :].astype(float)
+                 + self.pixel_shifts[:, :, :, np.newaxis]).astype(dt)
+        shift_chunk = self.pixel_shifts[:, :, -1].astype(dt)  # (nl, 2)
 
-        @jax.jit
-        def chunk(screens, rows, cols, chi, pm):
+        def chunk(screens, rows, cols, chi):
             phs = synthesis.sample_frozen_flow(screens, rows, cols)
             pc = synthesis.detector_coupling(phs, pm, dx, norm)
             out = jnp.exp(chi).astype(pc.real.dtype) * pc
             if not coherent:
                 return jnp.abs(out) ** 2
-            # complex arrays at program boundaries are not supported by all
-            # TPU runtimes: ship (real, imag) floats, recombine on host
             return jnp.stack([out.real, out.imag], axis=-1)
 
-        return chunk
+        @jax.jit
+        def run_all(screens, chi):
+            def body(c, inp):
+                i, chi_i = inp
+                rows = base0[:, 0] + i * shift_chunk[:, 0, None, None]
+                cols = base0[:, 1] + i * shift_chunk[:, 1, None, None]
+                return c, chunk(screens, rows, cols, chi_i)
+
+            idx = jnp.arange(nchunks, dtype=dt)
+            _, outs = jax.lax.scan(body, 0, (idx, chi.reshape(
+                (nchunks, B) + chi.shape[1:])))
+            return outs.reshape((nchunks * B,) + outs.shape[2:])
+
+        return run_all
 
     def run(self):
         """Draw all Monte Carlo realizations; returns :class:`FastResult`."""
@@ -676,33 +700,15 @@ class Fast:
             dtype=self.dtype))
         chi = jnp.asarray(self.logamp)
 
-        B = self.Niter_per_chunk
         coherent = bool(self.params["COHERENT"])
-        outs = []
         if not self.temporal:
             run_all = self._run_all_fn()
             I = self._combine_complex(run_all(key_mc, chi), coherent)
-            self.result = FastResult(I, self.diffraction_limit)
-            self.I = self.result.power  # backwards compatibility
-            logger.info(self.result)
-            return self.result
         else:
             screens = synthesis.synthesize_layer_screens(
                 key_scr, self._sqrt_psd_layers, float(self.freq.main.df))
-            chunk = self._chunk_fn_temporal()
-            # (nlayers, 2, T, Npup) trajectory, advanced per chunk
-            base = (self.pup_coords[np.newaxis, :, np.newaxis, :].astype(float)
-                    + self.pixel_shifts[:, :, :, np.newaxis])
-            for i in range(self.Nchunks):
-                rows = jnp.asarray(base[:, 0], dtype=self.dtype)
-                cols = jnp.asarray(base[:, 1], dtype=self.dtype)
-                out = chunk(screens, rows, cols, chi[i * B:(i + 1) * B],
-                            self._pm)
-                outs.append(out)
-                base = base + self.pixel_shifts[:, :, -1, np.newaxis, np.newaxis]
-
-        I = np.concatenate(
-            [self._combine_complex(o, coherent) for o in outs])
+            run_all = self._run_all_fn_temporal()
+            I = self._combine_complex(run_all(screens, chi), coherent)
         self.result = FastResult(I, self.diffraction_limit)
         self.I = self.result.power  # backwards compatibility
         logger.info(self.result)

@@ -51,7 +51,20 @@ def sample_grid_periodic(img, row_coords, col_coords):
     Equivalent to the reference's ``RectBivariateSpline(kx=1, ky=1)``
     evaluated on a coordinate grid (``fast/fast.py:631``), but periodic at
     the seam. ``row_coords`` (R,) x ``col_coords`` (C,) -> (R, C) samples.
+
+    Bilinear interpolation on an outer-product grid is separable, so this
+    gathers whole rows, blends, then gathers columns — far fewer scattered
+    element gathers than a naive 4-point lookup (TPU gathers are the cost).
     """
-    rows = row_coords[:, None] * jnp.ones_like(col_coords)[None, :]
-    cols = jnp.ones_like(row_coords)[:, None] * col_coords[None, :]
-    return bilinear_periodic(img, rows, cols)
+    n = img.shape[-1]
+    r0f = jnp.floor(row_coords)
+    fr = (row_coords - r0f).astype(img.dtype)[:, None]
+    r0 = jnp.mod(r0f, n).astype(jnp.int32)
+    r1 = jnp.mod(r0 + 1, n)
+    tmp = img[r0] * (1 - fr) + img[r1] * fr  # (R, N)
+
+    c0f = jnp.floor(col_coords)
+    fc = (col_coords - c0f).astype(img.dtype)[None, :]
+    c0 = jnp.mod(c0f, n).astype(jnp.int32)
+    c1 = jnp.mod(c0 + 1, n)
+    return tmp[:, c0] * (1 - fc) + tmp[:, c1] * fc
