@@ -24,7 +24,6 @@ bound uses the resolved ``dx`` (the reference reads the raw ``DX`` config
 value, which crashes for ``DX='auto'``, ``fast/fast.py:183``).
 """
 
-import functools
 import logging
 
 import jax

@@ -30,6 +30,18 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _compiler_params(N, P):
+    """Raise the VMEM scope for large grids.
+
+    Live buffers per program: ~8 f32 intermediates of N^2 (bits, uniforms,
+    Box-Muller factors, colored noise) + W pair + G pair + outputs. The
+    default 16 MB scope overflows at N=512.
+    """
+    need = (10 * N * N + 6 * P * N + 4 * P * P) * 4
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=max(32 * 1024 * 1024, int(need * 1.5)))
+
+
 def _synth_kernel(seed_ref, s_ref, wr_ref, wi_ref, or_ref, oi_ref):
     b = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], b)
@@ -109,6 +121,7 @@ def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret):
             jax.ShapeDtypeStruct((nbatch, P, P), jnp.float32),
             jax.ShapeDtypeStruct((nbatch, P, P), jnp.float32),
         ],
+        compiler_params=_compiler_params(N, P),
         # the TPU interpreter (not plain interpret=True) supports pltpu.prng_*
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, s_scaled, wr, wi)
@@ -203,6 +216,7 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False):
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((nbatch, 1, _LANE), jnp.float32)],
+            compiler_params=_compiler_params(N, P),
             interpret=pltpu.InterpretParams() if interpret else False,
         )(seed, s_scaled, wr, wi, pm)
         out = out[:, 0, :4]  # (nbatch, 4) = [c1r, c1i, c2r, c2i]
