@@ -61,13 +61,14 @@ def run_sharded(sim, mesh=None, seed=None):
     folded key. Returns a :class:`fast_tpu.engine.FastResult` over the
     gathered realizations, also stored on ``sim.result``.
 
-    Temporal (frozen-flow) mode is inherently a single ordered time series
-    and is not yet sharded here.
+    Temporal (frozen-flow) mode shards the *time* axis: the per-layer
+    screens are generated identically on every device (same key), and each
+    device samples its own contiguous time window, so the gathered series
+    is sample-for-sample identical to the serial one — the sequence-
+    parallel layout for long fading series (SURVEY.md §5.7).
     """
     if sim.temporal:
-        raise NotImplementedError(
-            "temporal mode is a single ordered time series; shard parameter "
-            "scans instead (run_sharded currently supports TEMPORAL=False)")
+        return _run_sharded_temporal(sim, mesh, seed)
 
     if mesh is None:
         mesh = make_mesh()
@@ -99,6 +100,75 @@ def run_sharded(sim, mesh=None, seed=None):
 
     from ..engine import Fast
     I = Fast._combine_complex(out, bool(sim.params["COHERENT"]))
+    sim.result = FastResult(I, sim.diffraction_limit)
+    sim.I = sim.result.power
+    return sim.result
+
+
+def _run_sharded_temporal(sim, mesh=None, seed=None):
+    """Time-axis sharding of one frozen-flow series (see run_sharded)."""
+    import functools as _ft
+
+    from ..ops.rng import make_key
+    from ..engine import FastResult
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis_name = mesh.axis_names[0]
+    ndev = mesh.devices.size
+
+    niter = sim.Niter
+    if niter % ndev != 0:
+        raise ValueError(
+            f"NITER ({niter}) must be divisible by n_devices ({ndev})")
+    # each device samples its whole window in one gather (NCHUNKS does not
+    # apply here); per-device memory is O(t_local * Npup^2)
+    t_local = niter // ndev
+
+    key = make_key(seed if seed is not None else sim.seed,
+                   impl=sim.params["RNG"])
+    key_logamp, key_scr, _ = jax.random.split(key, 3)
+
+    # the colored log-amplitude series couples all timesteps: draw once
+    chi = synthesis.draw_logamp(
+        key_logamp, niter, sim.logamp_var,
+        temporal_powerspec=sim.temporal_logamp_powerspec, dtype=sim.dtype)
+
+    screens = synthesis.synthesize_layer_screens(
+        key_scr, sim._sqrt_psd_layers, float(sim.freq.main.df))
+
+    dx = sim.dx
+    coherent = bool(sim.params["COHERENT"])
+    norm = sim._norm
+    pm = sim._pm
+    dt = np.dtype(str(sim.dtype))
+    # global per-step trajectory, step 0..t_local-1 for the local window;
+    # per-device offset = window index * per-step shift * t_local
+    dts = (np.arange(1, t_local + 1) * sim.dt).astype(dt)
+    shifts_local = (dts * sim.wind_vector[..., np.newaxis] / dx).astype(dt)
+    base_local = (sim.pup_coords[np.newaxis, :, np.newaxis, :].astype(dt)
+                  + shifts_local[:, :, :, np.newaxis])  # (nl, 2, T_loc, Np)
+    step_shift = (sim.wind_vector * sim.dt / dx).astype(dt)  # (nl, 2)
+
+    @_ft.partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name)),
+                 out_specs=P(axis_name))
+    def shard_fn(screens, chi_shard):
+        w = jax.lax.axis_index(axis_name).astype(dt)
+        off = w * t_local
+        rows = base_local[:, 0] + (off * step_shift[:, 0])[:, None, None]
+        cols = base_local[:, 1] + (off * step_shift[:, 1])[:, None, None]
+        phs = synthesis.sample_frozen_flow(screens, rows, cols)
+        pc = synthesis.detector_coupling(phs, pm, dx, norm)
+        out = jnp.exp(chi_shard).astype(pc.real.dtype) * pc
+        if not coherent:
+            return jnp.abs(out) ** 2
+        return jnp.stack([out.real, out.imag], axis=-1)
+
+    with mesh:
+        out = jax.jit(shard_fn)(screens, chi)
+
+    from ..engine import Fast
+    I = Fast._combine_complex(out, coherent)
     sim.result = FastResult(I, sim.diffraction_limit)
     sim.I = sim.result.power
     return sim.result

@@ -130,6 +130,21 @@ def test_temporal_fields_match(reference_fast):
                  what="temporal log-amplitude PSD")
 
 
+def test_mc_distribution_match(reference_fast):
+    """Full fading distributions agree (two-sample Kolmogorov-Smirnov)."""
+    from scipy.stats import ks_2samp
+
+    p = make_test_params(TEMPORAL=False, NITER=4000, NCHUNKS=4, SEED=21)
+    ref = reference_fast.Fast(dict(p))
+    mine = fast_tpu.Fast(dict(p))
+    ref.run()
+    mine.run()
+    r_ref = np.asarray(ref.result.power) / ref.diffraction_limit
+    r_mine = np.asarray(mine.result.power) / mine.diffraction_limit
+    stat, pvalue = ks_2samp(r_ref, r_mine)
+    assert pvalue > 1e-3, f"KS stat {stat}, p={pvalue}"
+
+
 def test_mc_statistics_match(reference_fast):
     """Monte Carlo fading statistics agree within sampling error."""
     p = make_test_params(TEMPORAL=False, NITER=4000, NCHUNKS=4, SEED=42)

@@ -89,6 +89,21 @@ def test_scan_sharded(mesh8):
     assert abs(r_solo.mean() - r_scan.mean()) < 4 * se
 
 
+def test_temporal_sharded_equals_serial(mesh8):
+    """Time-axis sharding reproduces the serial frozen-flow series."""
+    p = make_test_params(TEMPORAL=True, NITER=160, NCHUNKS=4, SEED=13)
+    serial = fast_tpu.Fast(p)
+    r_serial = np.asarray(serial.run().power)
+
+    sharded = fast_tpu.Fast(p)
+    r_sharded = np.asarray(parallel.run_sharded(sharded, mesh=mesh8).power)
+
+    assert r_sharded.shape == r_serial.shape
+    # identical screens + identical chi + same trajectory -> same series
+    # (up to float32 coordinate arithmetic at window offsets)
+    np.testing.assert_allclose(r_sharded, r_serial, rtol=2e-3)
+
+
 def test_coherent_sharded(mesh8):
     p = make_test_params(TEMPORAL=False, NITER=1600, NCHUNKS=1, SEED=3,
                          COHERENT=True)
