@@ -58,7 +58,7 @@ def main():
 
     sim = fast_tpu.Fast(g._flagship_params(
         npxls=256, niter=NITER, nchunks=NCHUNKS, RNG="rbg",
-        SYNTH=os.environ.get("FAST_TPU_SYNTH", "pallas")))
+        SYNTH=os.environ.get("FAST_TPU_SYNTH", "colfac")))
     run_all = sim._run_all_fn()
     key = jax.random.key(0, impl="rbg")
     chi = jnp.zeros((NITER,), jnp.float32)

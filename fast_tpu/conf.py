@@ -78,8 +78,10 @@ TPU_DEFAULTS = {
     "PSD_DTYPE": "float64", # power-spectrum assembly dtype
     "RNG": "threefry",      # JAX PRNG implementation ('threefry'|'rbg')
     "PSD_DEVICE": "cpu",    # where to assemble PSDs ('cpu' guarantees f64)
-    "SYNTH": "auto",        # screen synthesis: 'auto'|'matmul' (pruned DFT
-                            # on the MXU) | 'fft' (batched ifft2)
+    "SYNTH": "auto",        # screen synthesis: 'auto'|'colfac' (column-
+                            # factored covariance)|'matmul' (pruned DFT on
+                            # the MXU)|'fft' (batched ifft2)|'pallas'|
+                            # 'pallas_fused' (fully fused on-chip kernels)
     "PRECISION": "highest", # TPU matmul precision for 'matmul' synthesis:
                             # 'highest' (full f32) | 'high' (bf16x3) | 'default'
 }

@@ -90,6 +90,49 @@ def synthesize_screens_pruned(key, sqrt_powerspec, df, nbatch, W,
     return jnp.einsum("brm,cm->brc", G, W, precision=prec)
 
 
+def column_factors(sqrt_powerspec, df, W, jitter=1e-10):
+    """Per-column Cholesky factors of the pupil-row covariance.
+
+    For pruned synthesis ``scr = W @ X @ W^T`` the intermediate
+    ``G = W @ X`` has independent columns with covariance
+    ``C_m = W diag((S[:, m] df)^2) W^H``. Drawing ``G[:, m] = L_m z_m``
+    from the one-time Cholesky factors is *exactly* distribution-equivalent
+    but needs ``Npup/N`` times fewer random numbers and ~3x fewer matmul
+    FLOPs per screen. Host-side float64; returns (N, Npup, Npup) complex.
+    """
+    W = np.asarray(W, dtype=np.complex128)
+    S = np.asarray(sqrt_powerspec, dtype=np.float64) * float(df)
+    A = W[None, :, :] * S.T[:, None, :]  # (N_cols, Npup, N)
+    C = np.einsum("mpn,mqn->mpq", A, A.conj())
+    eye = np.eye(C.shape[-1])
+    tr = np.trace(C, axis1=-2, axis2=-1).real / C.shape[-1]
+    # floor the jitter against the mean column power so fully-masked
+    # columns (all-zero PSD) still factor
+    tr = np.maximum(tr, tr.mean() * 1e-3 + 1e-300)
+    return np.linalg.cholesky(C + (jitter * tr)[:, None, None] * eye)
+
+
+def synthesize_screens_colfac(key, L, W, nbatch, precision="highest"):
+    """Pupil-cropped complex screens from column-factored covariance.
+
+    Statistically identical to :func:`synthesize_screens_pruned` (same
+    Gaussian process), but the white noise is drawn directly in the
+    (Npup x N) intermediate basis. ``L`` from :func:`column_factors`.
+    """
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
+    L = jnp.asarray(L)
+    cdtype = L.dtype
+    ncols, npup, _ = L.shape
+    z = complex_normal(key, (nbatch, ncols, npup), dtype=cdtype)
+    G = jnp.einsum("mpq,bmq->bpm", L, z, precision=prec)
+    return jnp.einsum("bpm,cm->bpc", G, jnp.asarray(W, cdtype),
+                      precision=prec)
+
+
 def double_screens(scr):
     """Split complex screens into twice as many real ones (doubling trick)."""
     return jnp.concatenate([scr.real, scr.imag], axis=0)

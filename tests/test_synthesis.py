@@ -1,0 +1,68 @@
+"""Synthesis-path equivalence tests.
+
+All synthesis paths (fft / matmul / colfac / pallas) must draw from the
+same Gaussian process; fft vs matmul are numerically identical, colfac is
+distribution-identical (checked against the analytic covariance).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_tpu import synthesis
+
+
+def _targets(sqrt_ps, df):
+    psd = np.asarray(sqrt_ps, float) ** 2
+    N = psd.shape[0]
+    B = np.fft.ifft2(np.fft.ifftshift(psd) * df ** 2).real * N * N
+    return psd.sum() * df ** 2, B
+
+
+def _autocov(ph, dr, dc):
+    a = ph[:, : ph.shape[1] - dr or None, : ph.shape[2] - dc or None]
+    b = ph[:, dr:, dc:]
+    return (a * b).mean()
+
+
+def test_pruned_equals_fft_f64():
+    N, lo, hi = 64, 20, 44
+    rng = np.random.default_rng(0)
+    sqrt_ps = jnp.asarray(rng.random((N, N)) + 0.1)
+    key = jax.random.key(7)
+    a = synthesis.synthesize_screens_complex(key, sqrt_ps, 0.3, 4,
+                                             crop=(lo, hi))
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex128)
+    b = synthesis.synthesize_screens_pruned(key, sqrt_ps, 0.3, 4, W)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
+def test_colfac_covariance():
+    N, lo, hi = 64, 20, 44
+    rng = np.random.default_rng(1)
+    sqrt_ps = rng.random((N, N)) + 0.2
+    df = 0.37
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex128)
+    L = synthesis.column_factors(sqrt_ps, df, W)
+    scr = np.asarray(synthesis.synthesize_screens_colfac(
+        jax.random.key(3), L.astype(np.complex64),
+        W.astype(np.complex64), 5000))
+    phs = np.concatenate([scr.real, scr.imag])
+    var_target, B = _targets(sqrt_ps, df)
+    assert abs(phs.var() - var_target) / var_target < 0.03
+    for (dr, dc) in [(1, 0), (0, 3), (2, 2)]:
+        assert abs(_autocov(phs, dr, dc) - B[dr, dc]) < 0.05 * var_target
+
+
+def test_colfac_handles_masked_columns():
+    """Fully-zero PSD columns (aggressive masks) still factor."""
+    N, lo, hi = 32, 10, 22
+    sqrt_ps = np.zeros((N, N))
+    sqrt_ps[12:20, 12:20] = 1.0  # power only in a small corrected band
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex128)
+    L = synthesis.column_factors(sqrt_ps, 0.5, W)
+    assert np.isfinite(L).all()
+    scr = np.asarray(synthesis.synthesize_screens_colfac(
+        jax.random.key(0), L.astype(np.complex64),
+        W.astype(np.complex64), 100))
+    assert np.isfinite(scr).all()
