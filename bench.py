@@ -61,20 +61,18 @@ def main():
         SYNTH=os.environ.get("FAST_TPU_SYNTH", "colfac")))
     run_all = sim._run_all_fn()
     key = jax.random.key(0, impl="rbg")
-    chi = jnp.zeros((NITER,), jnp.float32)
 
     # compile + warm (two fetch cycles: first real execution can include
     # one-time remote program load)
     for i in range(2):
-        checksum = float(run_all(jax.random.fold_in(key, 1000 + i),
-                                 chi).sum())
+        checksum = float(run_all(key, jax.random.fold_in(key, 1000 + i)).sum())
         assert np.isfinite(checksum)
 
     best = 0.0
     for r in range(REP_SETS):
         t0 = time.time()
         for i in range(REPS_PER_SET):
-            out = run_all(jax.random.fold_in(key, 10 * r + i), chi)
+            out = run_all(key, jax.random.fold_in(key, 10 * r + i))
         checksum = float(out.sum())
         dt = (time.time() - t0) / REPS_PER_SET
         best = max(best, NITER / dt)

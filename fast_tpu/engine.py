@@ -531,7 +531,10 @@ class Fast:
             # keep the direct FFT path
             synth = "colfac" if dt == np.float32 else "fft"
         self._synth = synth
-        if synth in ("matmul", "pallas", "pallas_fused", "colfac"):
+        if synth in ("matmul", "pallas", "pallas_fused", "colfac") \
+                and not self.temporal:
+            # (temporal mode samples per-layer screens; the pruned/factored
+            # paths are only used for iid draws)
             cdt = np.complex64 if dt == np.float32 else np.complex128
             self._W_pruned = synthesis.pruned_ift2_matrix(
                 self.Npxls, *self.pup_crop, dtype=cdt)
@@ -568,10 +571,8 @@ class Fast:
         norm = self._norm
         synth = self._synth
         precision = self.params["PRECISION"]
-        W = (self._W_pruned
-             if synth in ("matmul", "pallas", "pallas_fused", "colfac")
-             else None)
-        L = self._L_colfac if synth == "colfac" else None
+        W = getattr(self, "_W_pruned", None)
+        L = getattr(self, "_L_colfac", None)
         pm = self._pm
         sqrt_psd = self._sqrt_psd
         if subharm:
@@ -634,9 +635,15 @@ class Fast:
         nchunks = self.Nchunks
         B = self.Niter_per_chunk
 
+        niter = self.Niter
+        logamp_var = float(self.logamp_var)
+        dtype = self.dtype
+
         @jax.jit
-        def run_all(key, chi):
-            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        def run_all(key_logamp, key_mc):
+            chi = synthesis.draw_logamp(key_logamp, niter, logamp_var,
+                                        dtype=dtype)
+            keys = jax.vmap(lambda i: jax.random.fold_in(key_mc, i))(
                 jnp.arange(nchunks))
             _, outs = jax.lax.scan(
                 lambda c, inp: (c, chunk(inp[0], inp[1])), 0,
@@ -681,8 +688,20 @@ class Fast:
                 return jnp.abs(out) ** 2
             return jnp.stack([out.real, out.imag], axis=-1)
 
+        niter = self.Niter
+        logamp_var = float(self.logamp_var)
+        sqrt_psd_layers = self._sqrt_psd_layers
+        df = float(self.freq.main.df)
+        temporal_ps = self.temporal_logamp_powerspec
+
         @jax.jit
-        def run_all(screens, chi):
+        def run_all(key_logamp, key_scr):
+            chi = synthesis.draw_logamp(
+                key_logamp, niter, logamp_var,
+                temporal_powerspec=temporal_ps, dtype=np.dtype(dt))
+            screens = synthesis.synthesize_layer_screens(
+                key_scr, sqrt_psd_layers, df)
+
             def body(c, inp):
                 i, chi_i = inp
                 rows = base0[:, 0] + i * shift_chunk[:, 0, None, None]
@@ -705,23 +724,24 @@ class Fast:
         key = make_key(self.seed, impl=self.params["RNG"])
         key_logamp, key_scr, key_mc = jax.random.split(key, 3)
 
-        logger.debug("Compute log amplitude values")
-        self.logamp = np.asarray(synthesis.draw_logamp(
-            key_logamp, self.Niter, self.logamp_var,
-            temporal_powerspec=(self.temporal_logamp_powerspec
-                                if self.temporal else None),
-            dtype=self.dtype))
-        chi = jnp.asarray(self.logamp)
+        # diagnostic copy of the log-amplitude draws (the device program
+        # redraws the identical series in-graph from the same key); kept on
+        # the CPU backend to avoid a device round-trip per run
+        ctx = jax.default_device(self._cpu) if self._cpu else _nullcontext()
+        with ctx:
+            self.logamp = np.asarray(synthesis.draw_logamp(
+                key_logamp, self.Niter, self.logamp_var,
+                temporal_powerspec=(self.temporal_logamp_powerspec
+                                    if self.temporal else None),
+                dtype=self.dtype))
 
         coherent = bool(self.params["COHERENT"])
         if not self.temporal:
             run_all = self._run_all_fn()
-            I = self._combine_complex(run_all(key_mc, chi), coherent)
+            I = self._combine_complex(run_all(key_logamp, key_mc), coherent)
         else:
-            screens = synthesis.synthesize_layer_screens(
-                key_scr, self._sqrt_psd_layers, float(self.freq.main.df))
             run_all = self._run_all_fn_temporal()
-            I = self._combine_complex(run_all(screens, chi), coherent)
+            I = self._combine_complex(run_all(key_logamp, key_scr), coherent)
         self.result = FastResult(I, self.diffraction_limit)
         self.I = self.result.power  # backwards compatibility
         logger.info(self.result)
