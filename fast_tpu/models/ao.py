@@ -17,6 +17,9 @@ Deliberate fixes of reference quirks (SURVEY.md §7):
   (``fast/ao_power_spectra.py:156``).
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -252,38 +255,14 @@ def Jol_noise_openloop(freq, Dsubap, noise_variance, lf_mask):
     return lf_mask * powerspec
 
 
-def Jol_alias_openloop(freq, Dsubap, p, lf_mask, v=None, Delta_t=None,
-                       wvl=None, lmax=3, kmax=3, L0=np.inf, l0=1e-6):
-    """Open-loop WFS aliasing PSD.
-
-    Double sum over folded frequency offsets ``(l, k)`` of shifted von
-    Karman spectra with geometric gradient terms and the servo sinc
-    (reference ``fast/ao_power_spectra.py:163-223``). The ``(2*lmax+1) *
-    (2*kmax+1) - 1`` shifted-grid terms run as a ``lax.scan`` so peak memory
-    stays at one per-layer grid regardless of the number of terms.
-    """
-    fx = jnp.asarray(freq.fx)
-    fy = jnp.asarray(freq.fy)
-    fabs = jnp.asarray(freq.fabs)
-    per_layer = freq.freq_per_layer
-    nlayers = 1 if np.ndim(p) == 0 else len(p)
-
+@functools.partial(jax.jit, static_argnames=("lmax", "kmax", "per_layer",
+                                              "has_v", "nlayers"))
+def _alias_core(fx, fy, fabs, X, Y, lf_mask, p, v, Delta_t, Dsubap, L0, l0,
+                lmax, kmax, per_layer, has_v, nlayers):
     mid2 = int(fx.shape[-2] / 2)
     mid1 = int(fy.shape[-1] / 2)
 
-    # unrotated axis meshes (the reference shifts the *axes*, not the
-    # possibly rotated mesh, ``ao_power_spectra.py:201-203``)
-    fx_axis = jnp.asarray(freq.fx_axis)
-    fy_axis = jnp.asarray(freq.fy_axis)
-    if fx_axis.ndim == 2:
-        X = fx_axis[:, None, :] * jnp.ones_like(fy_axis)[:, :, None]
-        Y = jnp.ones_like(fx_axis)[:, None, :] * fy_axis[:, :, None]
-    else:
-        X = fx_axis[None, :] * jnp.ones_like(fy_axis)[:, None]
-        Y = jnp.ones_like(fx_axis)[None, :] * fy_axis[:, None]
-
-    if v is not None:
-        v = jnp.asarray(v)
+    if has_v:
         if per_layer:
             fx_t, fy_t = fx, fy
         else:
@@ -300,23 +279,20 @@ def Jol_alias_openloop(freq, Dsubap, p, lf_mask, v=None, Delta_t=None,
     fabs_safe = jnp.where(fabs == 0, 1.0, fabs)
     term_0 = fx ** 2 * fy ** 2 / fabs_safe ** 4
 
-    shifts = []
-    for l in range(-lmax, lmax + 1):
-        for k in range(-kmax, kmax + 1):
-            if l == 0 and k == 0:
-                continue
-            shifts.append((2 * np.pi * k / Dsubap, 2 * np.pi * l / Dsubap,
-                           float(l == 0), float(k == 0)))
-    shifts = jnp.asarray(np.array(shifts))
+    lks = np.array([(float(l), float(k), float(l == 0), float(k == 0))
+                    for l in range(-lmax, lmax + 1)
+                    for k in range(-kmax, kmax + 1)
+                    if not (l == 0 and k == 0)])
+    lks = jnp.asarray(lks)
 
     row_mask = jnp.zeros(fx.shape[-2:]).at[mid2, :].set(1.0)
     col_mask = jnp.zeros(fx.shape[-2:]).at[:, mid1].set(1.0)
     dc_mask = jnp.zeros(fx.shape[-2:]).at[mid2, mid1].set(1.0)
 
-    def body(acc, shift):
-        sx, sy, is_l0, is_k0 = shift
-        Xs = X - sx
-        Ys = Y - sy
+    def body(acc, lk):
+        l, k, is_l0, is_k0 = lk
+        Xs = X - 2 * np.pi * k / Dsubap
+        Ys = Y - 2 * np.pi * l / Dsubap
         fabs_sh = jnp.sqrt(Xs ** 2 + Ys ** 2)
         term_2 = turb_powerspectrum_vonKarman(
             _FabsFreq(fabs_sh, per_layer), p, L0=L0, l0=l0)
@@ -336,9 +312,47 @@ def Jol_alias_openloop(freq, Dsubap, p, lf_mask, v=None, Delta_t=None,
         acc0 = jnp.zeros(fabs.shape)
     else:
         acc0 = jnp.zeros((nlayers,) + fabs.shape)
-    alias, _ = lax.scan(body, acc0, shifts)
+    alias, _ = lax.scan(body, acc0, lks)
     alias = alias * sinc_term * lf_mask
     return jnp.nan_to_num(alias, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def Jol_alias_openloop(freq, Dsubap, p, lf_mask, v=None, Delta_t=None,
+                       wvl=None, lmax=3, kmax=3, L0=np.inf, l0=1e-6):
+    """Open-loop WFS aliasing PSD.
+
+    Double sum over folded frequency offsets ``(l, k)`` of shifted von
+    Karman spectra with geometric gradient terms and the servo sinc
+    (reference ``fast/ao_power_spectra.py:163-223``). The ``(2*lmax+1) *
+    (2*kmax+1) - 1`` shifted-grid terms run as a jit-compiled ``lax.scan``
+    (cached per grid shape — this is the dominant init cost for parameter
+    sweeps) so peak memory stays at one per-layer grid.
+    """
+    per_layer = freq.freq_per_layer
+    nlayers = 1 if np.ndim(p) == 0 else len(p)
+    p_arr = jnp.asarray(p)
+
+    # unrotated axis meshes (the reference shifts the *axes*, not the
+    # possibly rotated mesh, ``ao_power_spectra.py:201-203``)
+    fx_axis = jnp.asarray(freq.fx_axis)
+    fy_axis = jnp.asarray(freq.fy_axis)
+    if fx_axis.ndim == 2:
+        X = fx_axis[:, None, :] * jnp.ones_like(fy_axis)[:, :, None]
+        Y = jnp.ones_like(fx_axis)[:, None, :] * fy_axis[:, :, None]
+    else:
+        X = fx_axis[None, :] * jnp.ones_like(fy_axis)[:, None]
+        Y = jnp.ones_like(fx_axis)[None, :] * fy_axis[:, None]
+
+    has_v = v is not None
+    v_arr = jnp.asarray(v) if has_v else jnp.zeros((nlayers, 2))
+    Delta_t = 0.0 if Delta_t is None else Delta_t
+
+    return _alias_core(
+        jnp.asarray(freq.fx), jnp.asarray(freq.fy), jnp.asarray(freq.fabs),
+        X, Y, jnp.asarray(lf_mask), p_arr, v_arr,
+        jnp.asarray(Delta_t, jnp.float64), jnp.asarray(Dsubap, jnp.float64),
+        jnp.asarray(L0, jnp.float64), jnp.asarray(l0, jnp.float64),
+        lmax, kmax, per_layer, has_v, nlayers)
 
 
 def G_AO_PAOLA(freq, mask, mode="AO", h=None, v=None, dtheta=(0, 0), Tx=None,
