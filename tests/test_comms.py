@@ -137,6 +137,28 @@ class TestMutualInformation:
         assert np.isfinite(mi)
 
 
+class TestCoherentPipeline:
+    def test_engine_complex_field_to_gmi(self):
+        """Coherent engine output feeds the GMI/MI estimators end to end."""
+        p = make_test_params(TEMPORAL=False, COHERENT=True, NITER=2000,
+                             NCHUNKS=2, SEED=12)
+        sim = fast_tpu.Fast(p)
+        res = sim.run()
+        samples = np.asarray(res.power) / sim.diffraction_limit
+        assert np.iscomplexobj(samples)
+        gmi = comms.generalised_mutual_information_qam(samples, 4, 32, 12)
+        mi = comms.mutual_information_qam(samples, 4, 32, 12)
+        assert 0 <= gmi <= 2.05
+        assert np.isfinite(mi)
+
+    def test_ber_improves_with_snr(self):
+        p = make_test_params(TEMPORAL=False, NITER=400, NCHUNKS=2, SEED=14)
+        sim = fast_tpu.Fast(p)
+        power = np.asarray(sim.run().power)
+        bers = [comms.ber_qam(16, snr, samples=power) for snr in (5, 15, 25)]
+        assert bers[0] > bers[1] > bers[2]
+
+
 class TestFastFSOC:
     @pytest.mark.parametrize("scheme", ["OOK", "BPSK", "QAM"])
     def test_full_pipeline(self, scheme):
