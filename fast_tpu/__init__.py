@@ -46,6 +46,7 @@ from .comms import FastFSOC
 from . import orbit
 from . import complete_orbit_simulation
 from . import parallel
+from . import sweep
 from . import utils
 
 __all__ = [
@@ -64,5 +65,6 @@ __all__ = [
     "orbit",
     "complete_orbit_simulation",
     "parallel",
+    "sweep",
     "utils",
 ]

@@ -1,0 +1,61 @@
+"""Vmapped sweep assembly vs per-sample full inits."""
+
+import numpy as np
+import pytest
+
+import fast_tpu
+from fast_tpu import sweep
+from conftest import make_test_params
+
+
+def test_sweep_matches_individual_inits():
+    base = make_test_params(TEMPORAL=False, NPXLS=164, NITER=200, NCHUNKS=2)
+    zeniths = np.array([30.0, 45.0, 60.0])
+    dthetas = np.array([[4.0, 0.0], [3.0, 1.0], [2.0, 2.0]])
+    sims = sweep.build_sweep(base, {"ZENITH_ANGLE": zeniths,
+                                    "DTHETA": dthetas})
+    assert len(sims) == 3
+
+    for i, (z, dth) in enumerate(zip(zeniths, dthetas)):
+        solo = fast_tpu.Fast(make_test_params(
+            TEMPORAL=False, NPXLS=164, NITER=200, NCHUNKS=2,
+            ZENITH_ANGLE=z, DTHETA=list(dth)))
+        np.testing.assert_allclose(sims[i].powerspec, solo.powerspec,
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(sims[i].logamp_powerspec,
+                                   solo.logamp_powerspec, rtol=1e-10,
+                                   atol=1e-15)
+        assert np.isclose(sims[i].logamp_var, solo.logamp_var, rtol=1e-10)
+        assert np.isclose(sims[i].phs_var, solo.phs_var, rtol=1e-10)
+        assert np.isclose(sims[i].diffraction_limit, solo.diffraction_limit,
+                          rtol=1e-10)
+        assert np.isclose(sims[i].L, solo.L)
+
+    # clones run independently
+    r = sims[1].run()
+    assert np.isfinite(np.asarray(r.power)).all()
+
+
+def test_sweep_with_orbit_geometry():
+    from fast_tpu import orbit
+
+    provider = orbit.circular_orbit_provider(550e3, offset_angle_deg=8.0)
+    times = np.linspace(-90, 90, 4)
+    base = make_test_params(TEMPORAL=False, NPXLS=164, NITER=100, NCHUNKS=2)
+    geo = orbit.sample_pass_geometry(provider, times, base["TLOOP"])
+    sims = sweep.build_sweep(base, {
+        "ZENITH_ANGLE": geo["zenith_angles"],
+        "L_SAT": geo["distances"],
+        "DTHETA": geo["paa"],
+        "ANISO_DL": geo["aniso_dl"],
+        "AZIMUT_SAT": geo["azimuts"],
+    })
+    assert len(sims) == 4
+    for s in sims:
+        s.validate()
+
+
+def test_sweep_rejects_auto_grid():
+    base = make_test_params(TEMPORAL=False)  # NPXLS='auto'
+    with pytest.raises(ValueError, match="explicit NPXLS"):
+        sweep.build_sweep(base, {"ZENITH_ANGLE": np.array([30.0])})
