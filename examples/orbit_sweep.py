@@ -29,7 +29,17 @@ def main():
     })
 
     geometry = orbit.sample_pass_geometry(provider, times, p["TLOOP"])
-    sims = orbit.FAST_sat_orbit_from_geometry(p, geometry)
+    # one vmapped PSD assembly for all samples (fast_tpu.sweep); the
+    # reference-style per-sample path is orbit.FAST_sat_orbit_from_geometry
+    from fast_tpu import sweep
+    sims = sweep.build_sweep(p, {
+        "ZENITH_ANGLE": geometry["zenith_angles"],
+        "L_SAT": geometry["distances"],
+        "DTHETA": geometry["paa"],
+        "ANISO_DL": geometry["aniso_dl"],
+        "AZIMUT_SAT": geometry["azimuts"],
+    })
+    sims = {f"simulation_{i}": s for i, s in enumerate(sims)}
 
     ndev = len(jax.devices())
     mesh = parallel.make_scan_mesh(2, ndev // 2) if ndev >= 4 else None
