@@ -79,6 +79,32 @@ def pdf_lognorm(Is, sigma, Imn=1):
         -((np.log(Is / Imn) + 0.5 * scint) ** 2) / (2 * scint))
 
 
+def pdf_gammagamma(Is, alpha, beta):
+    """Gamma-gamma irradiance PDF (Andrews & Phillips).
+
+    ``p(I) = 2 (ab)^((a+b)/2) / (Gamma(a) Gamma(b)) I^((a+b)/2 - 1)
+    K_{a-b}(2 sqrt(a b I))`` for unit-mean irradiance. The reference left
+    this unimplemented (commented out, ``fast/funcs.py:202-208``).
+    """
+    from scipy.special import gamma as _gamma, kv as _kv
+
+    Is = np.asarray(Is, dtype=float)
+    ab = alpha * beta
+    order = alpha - beta
+    pref = 2 * ab ** ((alpha + beta) / 2) / (_gamma(alpha) * _gamma(beta))
+    return (pref * Is ** ((alpha + beta) / 2 - 1)
+            * _kv(order, 2 * np.sqrt(ab * Is)))
+
+
+def gammagamma_parameters(rytov_var_spherical):
+    """Large/small-scale scintillation parameters (alpha, beta) from the
+    spherical-wave Rytov variance (Andrews & Phillips ch. 9)."""
+    s2 = rytov_var_spherical
+    alpha = 1 / (np.exp(0.49 * s2 / (1 + 1.11 * s2 ** (6 / 5)) ** (7 / 6)) - 1)
+    beta = 1 / (np.exp(0.51 * s2 / (1 + 0.69 * s2 ** (6 / 5)) ** (5 / 6)) - 1)
+    return alpha, beta
+
+
 def pupil_filter(freq, pupil, spline=False):
     """Pupil spatial filter; ``spline=True`` returns a bilinear resampler."""
     P = _pupil_filter_ndarray(np.asarray(pupil))

@@ -72,6 +72,20 @@ def test_make_phase_subharm_matches_reference(reference_fast):
     np.testing.assert_allclose(mine, theirs, rtol=1e-10, atol=1e-12)
 
 
+def test_pdf_gammagamma():
+    # normalised and unit-mean for moderate turbulence parameters
+    alpha, beta = funcs.gammagamma_parameters(0.5)
+    Is = np.linspace(1e-6, 30, 400000)
+    pdf = funcs.pdf_gammagamma(Is, alpha, beta)
+    assert np.all(pdf >= 0)
+    assert abs(np.trapezoid(pdf, Is) - 1) < 1e-3
+    assert abs(np.trapezoid(pdf * Is, Is) - 1) < 1e-3
+    # scintillation index from the PDF matches 1/a + 1/b + 1/(ab)
+    si = np.trapezoid(pdf * Is ** 2, Is) - 1
+    si_expected = 1 / alpha + 1 / beta + 1 / (alpha * beta)
+    assert abs(si - si_expected) / si_expected < 1e-2
+
+
 def test_wind_correction():
     h = np.array([0.0, 10e3])
     wc = funcs.calculate_wind_correction(h, [3600, 0], 1.0)
