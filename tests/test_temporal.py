@@ -27,7 +27,10 @@ def test_temporal_logamp_coloring():
     """Colored log-amplitude series reproduces variance and correlation."""
     import jax
 
-    p = make_test_params(TEMPORAL=True, NITER=4000, NCHUNKS=4, SEED=5)
+    # DT=1e-4 keeps the auto no-wrap grid small (NITER=4000 at DT=1e-3
+    # would demand a 7200^2 grid); the coloring statistics are unaffected
+    p = make_test_params(TEMPORAL=True, NITER=4000, NCHUNKS=4, SEED=5,
+                         DT=1e-4)
     sim = fast_tpu.Fast(p)
     chi = np.asarray(synthesis.draw_logamp(
         jax.random.key(1), sim.Niter, sim.logamp_var,
