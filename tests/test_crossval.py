@@ -112,12 +112,15 @@ def test_mean_irradiance_matches(reference_fast):
                  what="mean irradiance map")
 
 
-def test_subharmonics_match(reference_fast):
-    ref, mine = build_pair(reference_fast, SUBHARM=True)
+@pytest.mark.parametrize("mode", ["AO", "TT", "LGSAO", "NOAO"])
+def test_subharmonics_match(reference_fast, mode):
+    ref, mine = build_pair(reference_fast, SUBHARM=True, AO_MODE=mode)
     assert_close(ref.powerspec_subharm, mine.powerspec_subharm, rtol=1e-8,
                  what="subharmonic PSD")
     assert_close(ref.phs_var_subharm, mine.phs_var_subharm, rtol=1e-8,
                  what="subharmonic variance")
+    assert_close(ref.lf_mask_subharm, mine.lf_mask_subharm, rtol=1e-9,
+                 what="subharmonic mask")
 
 
 def test_temporal_fields_match(reference_fast):

@@ -45,6 +45,16 @@ class TestSimpson:
         mine = np.asarray(integrate.simpson(jnp.asarray(y), dx=dx, axis=-1))
         assert np.allclose(mine, ref, rtol=1e-13, atol=0)
 
+    def test_integrate_path_continuous(self):
+        # continuous (non-layered) branch: Simpson over uniform heights
+        rng = np.random.default_rng(2)
+        vals = rng.random((9, 5))
+        h = np.linspace(0, 8000, 9)
+        ref = scipy.integrate.simpson(vals, x=h, axis=0)
+        mine = np.asarray(integrate.integrate_path(
+            jnp.asarray(vals), h=jnp.asarray(h), layer=False, axis=0))
+        assert np.allclose(mine, ref, rtol=1e-12)
+
     def test_integrate_powerspectrum_matches_scipy(self):
         rng = np.random.default_rng(7)
         ps = rng.random(size=(3, 64, 64))
@@ -66,6 +76,17 @@ class TestFourier:
         scr = np.asarray(fourier.ift2(jnp.asarray(rand * df), 1.0)).real
         var = scr.var()
         assert np.isclose(var, psd.sum() * df ** 2, rtol=0.05)
+
+    def test_ft_ift_1d_roundtrip(self):
+        rng = np.random.default_rng(6)
+        g = rng.normal(size=24) + 1j * rng.normal(size=24)
+        delta = 0.13
+        n = 24
+        delta_f = 1.0 / (n * delta)
+        back = np.asarray(fourier.ift(fourier.ft(jnp.asarray(g), delta),
+                                      delta_f))
+        ratio = back / g
+        assert np.allclose(ratio, ratio[0], rtol=1e-10)
 
     def test_ft2_ift2_roundtrip(self):
         rng = np.random.default_rng(4)
