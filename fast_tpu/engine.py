@@ -530,6 +530,18 @@ class Fast:
             # path, fastest on TPU (~1.5x matmul); f64 verification runs
             # keep the direct FFT path
             synth = "colfac" if dt == np.float32 else "fft"
+
+        # memory guard: the per-chunk noise tensor is the peak allocation
+        # (reference used NCHUNKS the same way, ``fast/fast.py:87-93``)
+        if not self.temporal:
+            itemsize = 8 if dt == np.float32 else 16  # complex
+            ncols = self.Npxls_pup if synth == "colfac" else self.Npxls
+            chunk_bytes = (self.Niter_per_chunk // 2) * self.Npxls * ncols \
+                * itemsize
+            if chunk_bytes > 8e9:
+                logger.warning(
+                    "per-chunk noise tensor is %.1f GB; increase NCHUNKS "
+                    "to bound device memory", chunk_bytes / 1e9)
         self._synth = synth
         if synth in ("matmul", "pallas", "pallas_fused", "colfac") \
                 and not self.temporal:
