@@ -75,7 +75,8 @@ DEFAULTS = {
 #: reference configs only mention reference keys.
 TPU_DEFAULTS = {
     "DTYPE": "float32",     # Monte Carlo synthesis dtype ('float32'|'float64')
-    "PSD_DTYPE": "float64", # power-spectrum assembly dtype
+    "PSD_DTYPE": "float64", # reserved: PSD assembly is always float64 on
+                            # the PSD_DEVICE backend (parity requires it)
     "RNG": "threefry",      # JAX PRNG implementation ('threefry'|'rbg')
     "PSD_DEVICE": "cpu",    # where to assemble PSDs ('cpu' guarantees f64)
     "SYNTH": "auto",        # screen synthesis: 'auto'|'colfac' (column-
