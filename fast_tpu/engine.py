@@ -528,8 +528,16 @@ class Fast:
         if synth == "auto":
             # column-factored synthesis: distribution-identical to the FFT
             # path, fastest on TPU (~1.5x matmul); f64 verification runs
-            # keep the direct FFT path
-            synth = "colfac" if dt == np.float32 else "fft"
+            # keep the direct FFT path. Its factor tensor is
+            # (N, Npup, Npup) complex64 — fall back to the factor-free
+            # matmul path when that would exceed ~256 MB.
+            if dt != np.float32:
+                synth = "fft"
+            elif (not self.temporal
+                  and self.Npxls * self.Npxls_pup ** 2 * 8 > 2.56e8):
+                synth = "matmul"
+            else:
+                synth = "colfac"
 
         # memory guard: the per-chunk noise tensor is the peak allocation
         # (reference used NCHUNKS the same way, ``fast/fast.py:87-93``)
