@@ -735,10 +735,41 @@ class Fast:
 
         return run_all
 
-    def run(self):
-        """Draw all Monte Carlo realizations; returns :class:`FastResult`."""
+    def run(self, progress=False):
+        """Draw all Monte Carlo realizations; returns :class:`FastResult`.
+
+        ``progress=True`` dispatches chunk-by-chunk with a tqdm bar (the
+        reference's UX, ``fast/fast.py:130``) at the cost of one device
+        dispatch per chunk; the default runs the whole loop as a single
+        device program.
+        """
         with self.profile.stage("mc_run"):
+            if progress and not self.temporal:
+                return self._run_progress()
             return self._run()
+
+    def _run_progress(self):
+        from tqdm import tqdm
+
+        key = make_key(self.seed, impl=self.params["RNG"])
+        key_logamp, _, key_mc = jax.random.split(key, 3)
+        ctx = jax.default_device(self._cpu) if self._cpu else _nullcontext()
+        with ctx:
+            self.logamp = np.asarray(synthesis.draw_logamp(
+                key_logamp, self.Niter, self.logamp_var, dtype=self.dtype))
+        chunk = jax.jit(self._chunk_body())
+        B = self.Niter_per_chunk
+        chi = jnp.asarray(self.logamp)
+        outs = []
+        for i in tqdm(range(self.Nchunks)):
+            outs.append(chunk(jax.random.fold_in(key_mc, i),
+                              chi[i * B:(i + 1) * B]))
+        coherent = bool(self.params["COHERENT"])
+        I = np.concatenate([self._combine_complex(o, coherent) for o in outs])
+        self.result = FastResult(I, self.diffraction_limit)
+        self.I = self.result.power
+        logger.info(self.result)
+        return self.result
 
     def _run(self):
         key = make_key(self.seed, impl=self.params["RNG"])

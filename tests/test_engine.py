@@ -71,6 +71,13 @@ def test_sim_coherent():
     assert np.iscomplexobj(sim.I)
 
 
+def test_progress_run_matches_default():
+    p = make_test_params(TEMPORAL=False, SEED=44, NITER=40, NCHUNKS=2)
+    r1 = fast_tpu.Fast(p).run().power
+    r2 = fast_tpu.Fast(p).run(progress=True).power
+    np.testing.assert_allclose(r1, r2, rtol=1e-6)
+
+
 def test_seed_reproducible():
     p = make_test_params(TEMPORAL=False, SEED=77)
     r1 = fast_tpu.Fast(p).run().power
