@@ -19,6 +19,25 @@ def run_sim(p):
     return sim
 
 
+def test_config_file_path():
+    """Construction from an executable .py config file (reference contract)."""
+    import os
+    cfg = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "example_config.py")
+    sim = fast_tpu.Fast(cfg)
+    assert sim.Niter == 100
+    assert sim.params["SEED"] == 1234
+    res = sim.run()
+    assert np.isfinite(res.power).all()
+
+
+def test_config_parser_defaults_fill():
+    c = fast_tpu.conf.ConfigParser({"NITER": 50})
+    assert c.config["NITER"] == 50
+    assert c.config["WVL"] == 1550e-9  # filled from defaults
+    assert c.config["SYNTH"] == "auto"  # TPU extension filled silently
+
+
 def test_sim_default():
     sim = fast_tpu.Fast(make_test_params())
     sim.run()
