@@ -50,14 +50,20 @@ def _assemble_one(cn2, h, wind_vector, dtheta, lf_mask, hf_mask,
         fr, lf_mask, ao_mode, h, wind_vector, dtheta, D_ground, wvl, Zmax,
         tloop, texp)
 
+    aniso_servo_error = integrate_powerspectrum(
+        (G_ao * turb).sum(0) * lf_mask * 2 * np.pi * k ** 2, f_axis)
+
     if alias and ao_mode != "NOAO":
         alias_ps = ao_spectra._alias_core(
             fx, fy, fabs, X, Y, lf_mask, cn2, wind_vector,
             jnp.asarray(texp, jnp.float64), jnp.asarray(Dsubap, jnp.float64),
             jnp.asarray(L0, jnp.float64), jnp.asarray(l0, jnp.float64),
             lmax, kmax, False, True, h.shape[0])
+        alias_error = integrate_powerspectrum(
+            (alias_ps * 2 * np.pi * k ** 2).sum(0), f_axis)
     else:
         alias_ps = 0.0
+        alias_error = jnp.float64(0.0)
 
     ps_per_layer = 2 * np.pi * k ** 2 * (turb * G_ao + alias_ps) \
         + noise_ps / h.shape[0]
@@ -68,7 +74,9 @@ def _assemble_one(cn2, h, wind_vector, dtheta, lf_mask, hf_mask,
     logamp_var = integrate_powerspectrum(logamp_ps, f_axis)
     phs_var = integrate_powerspectrum(powerspec, f_axis)
     fitting_error = integrate_powerspectrum(powerspec * hf_mask, f_axis)
-    return powerspec, logamp_ps, logamp_var, phs_var, fitting_error
+    phs_var_weights = integrate_powerspectrum(ps_per_layer, f_axis) / phs_var
+    return (powerspec, logamp_ps, logamp_var, phs_var, fitting_error,
+            aniso_servo_error, alias_error, phs_var_weights)
 
 
 def build_sweep(base_params, samples):
@@ -148,7 +156,8 @@ def build_sweep(base_params, samples):
 
     ctx = jax.default_device(base._cpu) if base._cpu else _Null()
     with ctx:
-        powerspec_b, logamp_ps_b, logamp_var_b, phs_var_b, fit_b = [
+        (powerspec_b, logamp_ps_b, logamp_var_b, phs_var_b, fit_b,
+         aniso_b, alias_err_b, weights_b) = [
             np.asarray(x) for x in assemble(
                 jnp.asarray(cn2_b), jnp.asarray(h_b), jnp.asarray(wind_vec_b),
                 jnp.asarray(dtheta_b))]
@@ -172,6 +181,11 @@ def build_sweep(base_params, samples):
         s.logamp_var = float(logamp_var_b[i])
         s.phs_var = float(phs_var_b[i])
         s.fitting_error = float(fit_b[i])
+        # per-sample error budgets (noise_error is sample-invariant: the
+        # noise PSD depends only on the shared grid/Dsubap/noise config)
+        s.aniso_servo_error = float(aniso_b[i])
+        s.alias_error = float(alias_err_b[i])
+        s.phs_var_weights = weights_b[i]
         s.profile = base.profile
         # link budget: only the free-space term varies along the pass
         s.link_budget = dict(base.link_budget)

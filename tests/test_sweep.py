@@ -30,6 +30,20 @@ def test_sweep_matches_individual_inits():
         assert np.isclose(sims[i].diffraction_limit, solo.diffraction_limit,
                           rtol=1e-10)
         assert np.isclose(sims[i].L, solo.L)
+        # per-sample error budgets must be recomputed, not inherited from
+        # the base clone (round-1 bug: copy.copy carried stale scalars)
+        assert np.isclose(sims[i].aniso_servo_error, solo.aniso_servo_error,
+                          rtol=1e-10)
+        assert np.isclose(sims[i].alias_error, solo.alias_error, rtol=1e-10)
+        assert np.isclose(sims[i].fitting_error, solo.fitting_error,
+                          rtol=1e-10)
+        assert np.isclose(sims[i].noise_error, solo.noise_error, rtol=1e-10)
+        np.testing.assert_allclose(sims[i].phs_var_weights,
+                                   solo.phs_var_weights, rtol=1e-10)
+
+    # error budgets genuinely differ across zenith angles
+    assert not np.isclose(sims[0].aniso_servo_error, sims[2].aniso_servo_error)
+    assert not np.isclose(sims[0].alias_error, sims[2].alias_error)
 
     # clones run independently
     r = sims[1].run()
