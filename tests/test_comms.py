@@ -85,21 +85,36 @@ class TestConstellations:
             comms.define_constellation("8-QAM")
 
     def test_gray_code_neighbours(self):
-        code = comms._bin2gray_qam(16).reshape(4, 4)
-        # adjacent cells differ by exactly one bit
+        code = comms.gray_labels_qam(16).reshape(4, 4)
+        # horizontally and vertically adjacent labels differ by one bit
+        assert (bin(code[0, 0] ^ code[0, 1]).count("1")) == 1
         for i in range(4):
             for j in range(3):
-                diff = sum(a != b for a, b in zip(code[i, j], code[i, j + 1]))
-                assert diff == 1
+                assert bin(code[i, j] ^ code[i, j + 1]).count("1") == 1
+                assert bin(code[j, i] ^ code[j + 1, i]).count("1") == 1
+
+    def test_gray_labels_match_reference(self, reference_fast):
+        for M in (4, 16, 64):
+            ref = reference_fast.comms._bin2gray_qam(M)
+            ref_ints = np.array([int(s, 2) for s in ref])
+            np.testing.assert_array_equal(comms.gray_labels_qam(M), ref_ints)
 
 
 class TestBitPacking:
     @pytest.mark.parametrize("bps", [1, 2, 4])
     def test_encode_decode_roundtrip(self, bps):
         payload = b"The quick brown fox"
-        symbols, pad = comms._encode(payload, bps)
-        decoded = comms._decode(symbols, bps, pad)
+        symbols, pad = comms.pack_payload(payload, bps)
+        decoded = comms.unpack_payload(symbols, bps, pad)
         assert bytes(decoded)[:len(payload)] == payload
+
+    def test_pack_matches_reference(self, reference_fast):
+        payload = b"parity check payload"
+        for bps in (1, 2, 3, 4):
+            ours, pad = comms.pack_payload(payload, bps)
+            ref, ref_pad = reference_fast.comms._encode(payload, bps)
+            np.testing.assert_array_equal(ours, ref)
+            assert pad == ref_pad
 
     def test_flip_bits_rate(self):
         rng = np.random.default_rng(3)
@@ -157,6 +172,112 @@ class TestCoherentPipeline:
         power = np.asarray(sim.run().power)
         bers = [comms.ber_qam(16, snr, samples=power) for snr in (5, 15, 25)]
         assert bers[0] > bers[1] > bers[2]
+
+
+class TestCrossvalReference:
+    """Numerical parity with the in-process reference (same inputs)."""
+
+    @pytest.fixture(scope="class")
+    def samples(self):
+        rng = np.random.default_rng(21)
+        return np.sqrt(np.exp(rng.normal(-0.1, 0.45, size=3000)))
+
+    def test_closed_forms_exact(self, reference_fast, samples):
+        rc = reference_fast.comms
+        power = samples ** 2
+        assert np.isclose(comms.ber_ook(9), rc.ber_ook(9), rtol=1e-12)
+        assert np.isclose(comms.ber_ook(9, power), rc.ber_ook(9, power),
+                          rtol=1e-12)
+        for M in (4, 16, 64):
+            assert np.isclose(comms.sep_qam(M, 12), rc.sep_qam(M, 12),
+                              rtol=1e-12)
+            assert np.isclose(comms.sep_qam(M, 12, power),
+                              rc.sep_qam(M, 12, power), rtol=1e-12)
+            assert np.isclose(comms.ber_qam(M, 8, power),
+                              rc.ber_qam(M, 8, power), rtol=1e-12)
+
+    @pytest.mark.parametrize("region", ["individual", "full"])
+    def test_convolve_awgn_qam(self, reference_fast, samples, region):
+        ours = comms.convolve_awgn_qam(samples, 4, 32, 11,
+                                       region_size=region)
+        ref = reference_fast.comms.convolve_awgn_qam(samples, 4, 32, 11,
+                                                     region_size=region)
+        # identical up to float error and boundary-bin ties (measure ~0)
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-6)
+        assert abs(ours.sum() - ref.sum()) < 1e-6
+
+    def test_convolve_shot_noise(self, reference_fast, samples):
+        ours = comms.convolve_awgn_qam(samples[:800], 4, 24, 10, shot=True,
+                                       region_size="full")
+        ref = reference_fast.comms.convolve_awgn_qam(samples[:800], 4, 24, 10,
+                                                     shot=True,
+                                                     region_size="full")
+        np.testing.assert_allclose(ours, ref, atol=5e-4, rtol=1e-5)
+
+    def test_gmi_mi(self, reference_fast, samples):
+        for esn0 in (6, 14):
+            g0 = comms.generalised_mutual_information_qam(samples, 4, 32,
+                                                          esn0)
+            g1 = reference_fast.comms.generalised_mutual_information_qam(
+                samples, 4, 32, esn0)
+            assert abs(g0 - g1) < 1e-3
+            m0 = comms.mutual_information_qam(samples, 4, 32, esn0)
+            m1 = reference_fast.comms.mutual_information_qam(samples, 4, 32,
+                                                             esn0)
+            assert abs(m0 - m1) < 1e-3
+
+    def test_fade_stats(self, reference_fast):
+        rng = np.random.default_rng(31)
+        series = np.exp(rng.normal(0, 0.6, size=4000))
+        for th in (0.4, 0.7, 1.0):
+            assert np.isclose(comms.fade_prob(series, th),
+                              reference_fast.comms.fade_prob(series, th),
+                              equal_nan=True)
+            assert np.isclose(comms.fade_dur(series, th, dt=0.25),
+                              reference_fast.comms.fade_dur(series, th,
+                                                            dt=0.25),
+                              equal_nan=True)
+
+    def test_constellations_exact(self, reference_fast):
+        for name in ("OOK", "BPSK", "QPSK", "QAM", "8-PSK", "16-QAM",
+                     "64-QAM"):
+            np.testing.assert_allclose(
+                comms.define_constellation(name),
+                reference_fast.comms.define_constellation(name), atol=1e-15)
+
+
+class TestDevicePath:
+    def test_modem_runs_jitted_on_device(self):
+        """The modem is one compiled program operating on device arrays."""
+        import jax
+        import jax.numpy as jnp
+
+        power = jnp.asarray(np.exp(np.random.default_rng(2).normal(
+            0, 0.3, 512)))
+        m = comms.Modulator(np.asarray(power), "16-QAM", EsN0=14,
+                            symbols_per_iter=64, rng=7)
+        m.run()
+        assert 0 <= m.sep < 0.5
+        assert np.isfinite(m.evm)
+        # kernel is cached per static signature
+        assert comms._modem_kernel._cache_size() >= 1
+
+    def test_histograms_sharded_samples(self):
+        """The PDF kernel accepts samples sharded over the mc axis."""
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devices = np.array(jax.devices()[:8])
+        mesh = Mesh(devices, ("mc",))
+        rng = np.random.default_rng(5)
+        amp = np.sqrt(np.exp(rng.normal(0, 0.4, 4096)))
+        sharded = jax.device_put(jnp.asarray(amp),
+                                 NamedSharding(mesh, P("mc")))
+        out = comms.convolve_awgn_qam(np.asarray(sharded), 4, 32, 10,
+                                      region_size="full")
+        ref = comms.convolve_awgn_qam(amp, 4, 32, 10, region_size="full")
+        np.testing.assert_allclose(out, ref, rtol=1e-10, atol=1e-12)
 
 
 class TestFastFSOC:
