@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import conf
+from . import psd
 from .grids import SpatialFrequencies
 from .models import ao as ao_spectra
 from .models import atmosphere
@@ -398,100 +399,72 @@ class Fast:
         self.diffraction_limit = 10 ** (sum(lb.values()) / 10) / 1e3  # W
         return lb
 
+    def _psd_args(self, grid, mask):
+        """Shared (traced, static) argument tuple for the jitted assembly."""
+        f64 = np.float64
+        args = (np.asarray(grid.fx, f64), np.asarray(grid.fy, f64),
+                np.asarray(grid.fabs, f64), np.asarray(grid.fx_axis, f64),
+                np.asarray(grid.fy_axis, f64))
+        rest = (np.asarray(self.cn2, f64), np.asarray(self.h, f64),
+                np.asarray(self.wind_vector, f64),
+                np.asarray(self.dtheta, f64), f64(self.noise),
+                f64(self.Dsubap if self.Dsubap is not None else 0.0),
+                f64(self.texp), f64(self.tloop), f64(self.wvl),
+                f64(self.D_ground), f64(self.L0), f64(self.l0))
+        x_max = (float(np.max(grid.fabs) * self.D_ground / 2)
+                 if self.ao_mode == "LGSAO" else None)
+        statics = dict(mode=self.ao_mode, alias_on=bool(self.alias),
+                       noise_on=bool(self.noise > 0), x_max=x_max)
+        return args, (np.asarray(mask, f64),), rest, statics
+
     def compute_powerspec(self):
         """Assemble all residual phase / log-amplitude power spectra.
 
-        Mirrors the reference assembly (``fast/fast.py:445-587``) term by
-        term, in float64.
+        Same term-by-term physics as the reference (``fast/fast.py:445-587``)
+        in float64, but as one jitted program per grid shape
+        (:mod:`fast_tpu.psd`) instead of ~100 eager dispatches — warm
+        re-initialisation at a known shape costs milliseconds.
         """
         logger.info("Computing (residual) phase power spectra")
         freq = self.freq
 
-        self.turb_powerspec = atmosphere.turb_powerspectrum_vonKarman(
-            freq.main, self.cn2, self.L0, self.l0)
+        grid_args, (lf_mask,), rest, statics = self._psd_args(
+            freq.main, self.lf_mask)
+        out = psd.assemble_main(
+            *grid_args, np.asarray(freq.main.f, np.float64), lf_mask,
+            np.asarray(self.hf_mask, np.float64),
+            np.asarray(self.pupil_filter, np.float64), *rest, **statics)
 
-        self.G_ao = ao_spectra.G_AO_PAOLA(
-            freq.main, jnp.asarray(self.lf_mask), self.ao_mode, self.h,
-            self.wind_vector, self.dtheta, self.D_ground, self.wvl,
-            self.Zmax, self.tloop, self.texp)
-
-        self.aniso_servo_error = float(integrate_powerspectrum(
-            integrate_path(self.G_ao * self.turb_powerspec, self.h, layer=True)
-            * jnp.asarray(self.lf_mask) * 2 * np.pi * self.k ** 2,
-            freq.main.f))
-
-        if self.alias and self.ao_mode != "NOAO":
-            self.alias_powerspec = ao_spectra.Jol_alias_openloop(
-                freq.main, self.Dsubap, self.cn2, jnp.asarray(self.lf_mask),
-                self.wind_vector, self.texp, self.wvl, 5, 5, self.L0, self.l0)
-            self.alias_error = float(integrate_powerspectrum(integrate_path(
-                self.alias_powerspec * 2 * np.pi * self.k ** 2, self.h,
-                layer=True), freq.main.f))
-        else:
-            self.alias_powerspec = 0.0
-            self.alias_error = 0.0
-
-        if self.noise > 0 and self.ao_mode != "NOAO":
-            self.noise_powerspec = ao_spectra.Jol_noise_openloop(
-                freq.main, self.Dsubap, self.noise, jnp.asarray(self.lf_mask))
-            self.noise_error = float(integrate_powerspectrum(
-                self.noise_powerspec, freq.main.f))
-        else:
-            self.noise_powerspec = 0.0
-            self.noise_error = 0.0
-
-        self.powerspec_per_layer = np.asarray(
-            2 * np.pi * self.k ** 2
-            * (self.turb_powerspec * self.G_ao + self.alias_powerspec)
-            + self.noise_powerspec / len(self.h))
-        self.powerspec = self.powerspec_per_layer.sum(0)
-
-        self.fitting_error = float(integrate_powerspectrum(
-            jnp.asarray(self.powerspec * self.hf_mask), freq.main.f))
-        self.phs_var = float(integrate_powerspectrum(
-            jnp.asarray(self.powerspec), freq.main.f))
-        self.phs_var_weights = np.asarray(integrate_powerspectrum(
-            jnp.asarray(self.powerspec_per_layer), freq.main.f)) / self.phs_var
-
-        self.logamp_powerspec = np.asarray(logamp_powerspec(
-            freq.main, self.h, self.cn2, self.wvl,
-            pupilfilter=self.pupil_filter, layer=True, L0=self.L0, l0=self.l0))
-        self.logamp_var = float(integrate_powerspectrum(
-            jnp.asarray(self.logamp_powerspec), freq.main.f))
+        self.turb_powerspec = out["turb_powerspec"]
+        self.G_ao = out["G_ao"]
+        self.alias_powerspec = np.array(out["alias_powerspec"]) \
+            if statics["alias_on"] and self.ao_mode != "NOAO" else 0.0
+        self.noise_powerspec = np.array(out["noise_powerspec"]) \
+            if statics["noise_on"] and self.ao_mode != "NOAO" else 0.0
+        self.powerspec_per_layer = np.array(out["powerspec_per_layer"])
+        self.powerspec = np.array(out["powerspec"])
+        self.aniso_servo_error = float(out["aniso_servo_error"])
+        self.alias_error = float(out["alias_error"])
+        self.noise_error = float(out["noise_error"])
+        self.fitting_error = float(out["fitting_error"])
+        self.phs_var = float(out["phs_var"])
+        self.phs_var_weights = np.array(out["phs_var_weights"])
+        self.logamp_powerspec = np.array(out["logamp_powerspec"])
+        self.logamp_var = float(out["logamp_var"])
 
         if self.subharmonics:
             logger.info("Computing subharmonics power spectra")
-            turb_lo = atmosphere.turb_powerspectrum_vonKarman(
-                freq.subharm, self.cn2, self.L0, self.l0)
-            G_ao_lo = ao_spectra.G_AO_PAOLA(
-                freq.subharm, jnp.asarray(self.lf_mask_subharm), self.ao_mode,
-                self.h, self.wind_vector, self.dtheta, self.D_ground,
-                self.wvl, self.Zmax, self.tloop, self.texp, self.Dsubap,
-                self.modal, self.modal_mult)
-            if self.alias and self.ao_mode != "NOAO":
-                alias_sh = ao_spectra.Jol_alias_openloop(
-                    freq.subharm, self.Dsubap, self.cn2,
-                    jnp.asarray(self.lf_mask_subharm), self.wind_vector,
-                    self.texp, self.wvl, 5, 5, self.L0, self.l0)
-            else:
-                alias_sh = 0.0
-            if self.noise > 0 and self.ao_mode != "NOAO":
-                noise_sh = ao_spectra.Jol_noise_openloop(
-                    freq.subharm, self.Dsubap, self.noise,
-                    jnp.asarray(self.lf_mask_subharm))
-            else:
-                noise_sh = 0.0
-
+            grid_args, (lf_mask_sh,), rest, statics = self._psd_args(
+                freq.subharm, self.lf_mask_subharm)
+            out_sh = psd.assemble_subharm(
+                *grid_args, np.asarray(freq.subharm.df, np.float64),
+                lf_mask_sh, *rest, **statics)
             self.powerspec_subharm_per_layer = np.asarray(
-                2 * np.pi * self.k ** 2 * (turb_lo * G_ao_lo + alias_sh)
-                + noise_sh / len(self.h))
-            self.powerspec_subharm = self.powerspec_subharm_per_layer.sum(0)
-
-            self.phs_var_subharm = (
-                self.powerspec_subharm_per_layer.sum((-1, -2))
-                * self.freq.subharm.df ** 2)
-            self.phs_var_weights_sh = (
-                self.phs_var_subharm / self.phs_var_subharm.sum())
+                out_sh["powerspec_subharm_per_layer"])
+            self.powerspec_subharm = np.array(out_sh["powerspec_subharm"])
+            self.phs_var_subharm = np.array(out_sh["phs_var_subharm"])
+            self.phs_var_weights_sh = np.asarray(
+                out_sh["phs_var_weights_sh"])
         else:
             self.powerspec_subharm = None
             self.phs_var_subharm = None

@@ -289,13 +289,20 @@ def _alias_core(fx, fy, fabs, X, Y, lf_mask, p, v, Delta_t, Dsubap, L0, l0,
     col_mask = jnp.zeros(fx.shape[-2:]).at[:, mid1].set(1.0)
     dc_mask = jnp.zeros(fx.shape[-2:]).at[mid2, mid1].set(1.0)
 
+    # For shared (non-per-layer) grids every term in the (l, k) sum is
+    # linear in the layer's Cn2 with a layer-independent spatial shape, so
+    # the scan accumulates ONE unit-Cn2 field and the per-layer scaling is
+    # applied once at the end — nlayers-fold less work than accumulating
+    # the per-layer stack (per-layer grids keep the direct path).
+    p_scan = p if per_layer else jnp.ones((), p.dtype)
+
     def body(acc, lk):
         l, k, is_l0, is_k0 = lk
         Xs = X - 2 * np.pi * k / Dsubap
         Ys = Y - 2 * np.pi * l / Dsubap
         fabs_sh = jnp.sqrt(Xs ** 2 + Ys ** 2)
         term_2 = turb_powerspectrum_vonKarman(
-            _FabsFreq(fabs_sh, per_layer), p, L0=L0, l0=l0)
+            _FabsFreq(fabs_sh, per_layer), p_scan, L0=L0, l0=l0)
         Ys_safe = jnp.where(Ys == 0, 1.0, Ys)
         Xs_safe = jnp.where(Xs == 0, 1.0, Xs)
         term_1 = (fx / Ys_safe + fy / Xs_safe) ** 2
@@ -311,8 +318,10 @@ def _alias_core(fx, fy, fabs, X, Y, lf_mask, p, v, Delta_t, Dsubap, L0, l0,
     if per_layer:
         acc0 = jnp.zeros(fabs.shape)
     else:
-        acc0 = jnp.zeros((nlayers,) + fabs.shape)
+        acc0 = jnp.zeros((1,) + fabs.shape)
     alias, _ = lax.scan(body, acc0, lks)
+    if not per_layer:
+        alias = alias * p[(slice(None),) + (None,) * (alias.ndim - 1)]
     alias = alias * sinc_term * lf_mask
     return jnp.nan_to_num(alias, nan=0.0, posinf=0.0, neginf=0.0)
 
@@ -357,7 +366,7 @@ def Jol_alias_openloop(freq, Dsubap, p, lf_mask, v=None, Delta_t=None,
 
 def G_AO_PAOLA(freq, mask, mode="AO", h=None, v=None, dtheta=(0, 0), Tx=None,
                wvl=None, Zmax=None, tl=0, Delta_t=0, Dsubap=None, modal=False,
-               modal_mult=1):
+               modal_mult=1, x_max=None):
     """Open-loop AO residual transfer function (PAOLA model).
 
     ``1 - 2 cos(dr.kappa - tl v.kappa) sinc(Dt v.kappa / 2pi) + sinc^2``
@@ -365,6 +374,9 @@ def G_AO_PAOLA(freq, mask, mode="AO", h=None, v=None, dtheta=(0, 0), Tx=None,
     WFS integration, applied inside the corrected mask and passed through
     outside. LGSAO blends a tip-tilt-only variant through a Z<=4 Zernike
     filter. Reference ``fast/ao_power_spectra.py:225-270``.
+
+    ``x_max`` (static float): bound on ``max(fabs) * Tx / 2`` for the LGSAO
+    Zernike quadrature — required when ``fabs`` is traced under ``jit``.
     """
     if mode not in ["NOAO", "AO", "TT", "LGSAO"]:
         raise Exception(
@@ -407,7 +419,8 @@ def G_AO_PAOLA(freq, mask, mode="AO", h=None, v=None, dtheta=(0, 0), Tx=None,
         term_1_lgs = 2 * jnp.cos(-tl * v_dot_kappa)
         term_2_lgs = jnp.sinc(Delta_t * v_dot_kappa / (2 * np.pi))
         aniso_lgs = 1 - term_1_lgs * term_2_lgs + term_2_lgs ** 2
-        Z = zernike_squared_filter(fabs, fx, fy, Tx, 4, n_noll_start=1)
+        Z = zernike_squared_filter(fabs, fx, fy, Tx, 4, n_noll_start=1,
+                                   x_max=x_max)
         return mask * (Z * aniso + (1 - Z) * aniso_lgs) + (1 - mask)
 
     raise Exception("Shouldn't be here")

@@ -17,66 +17,13 @@ Restrictions: the sweep shares NPXLS/DX (pass them explicitly so the
 """
 
 import copy
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import synthesis
+from . import psd, synthesis
 from .engine import Fast, calculate_wind_correction, l_path
-from .models import ao as ao_spectra
-from .models import atmosphere
-from .models.scintillation import logamp_powerspec
-from .ops.integrate import integrate_path, integrate_powerspectrum
-
-
-@functools.partial(jax.jit, static_argnames=("ao_mode", "alias", "lmax",
-                                             "kmax"))
-def _assemble_one(cn2, h, wind_vector, dtheta, lf_mask, hf_mask,
-                  pupil_filter, fx, fy, fabs, X, Y, f_axis, noise_ps,
-                  D_ground, wvl, Zmax, tloop, texp, Dsubap, L0, l0,
-                  ao_mode, alias, lmax, kmax):
-    """Per-sample PSD assembly (mirrors ``Fast.compute_powerspec``)."""
-    k = 2 * np.pi / wvl
-
-    class _Freq:
-        freq_per_layer = False
-    fr = _Freq()
-    fr.fx, fr.fy, fr.fabs = fx, fy, fabs
-
-    turb = atmosphere.turb_powerspectrum_vonKarman(fr, cn2, L0, l0)
-    G_ao = ao_spectra.G_AO_PAOLA(
-        fr, lf_mask, ao_mode, h, wind_vector, dtheta, D_ground, wvl, Zmax,
-        tloop, texp)
-
-    aniso_servo_error = integrate_powerspectrum(
-        (G_ao * turb).sum(0) * lf_mask * 2 * np.pi * k ** 2, f_axis)
-
-    if alias and ao_mode != "NOAO":
-        alias_ps = ao_spectra._alias_core(
-            fx, fy, fabs, X, Y, lf_mask, cn2, wind_vector,
-            jnp.asarray(texp, jnp.float64), jnp.asarray(Dsubap, jnp.float64),
-            jnp.asarray(L0, jnp.float64), jnp.asarray(l0, jnp.float64),
-            lmax, kmax, False, True, h.shape[0])
-        alias_error = integrate_powerspectrum(
-            (alias_ps * 2 * np.pi * k ** 2).sum(0), f_axis)
-    else:
-        alias_ps = 0.0
-        alias_error = jnp.float64(0.0)
-
-    ps_per_layer = 2 * np.pi * k ** 2 * (turb * G_ao + alias_ps) \
-        + noise_ps / h.shape[0]
-    powerspec = ps_per_layer.sum(0)
-
-    logamp_ps = logamp_powerspec(fr, h, cn2, wvl, pupilfilter=pupil_filter,
-                                 layer=True, L0=L0, l0=l0)
-    logamp_var = integrate_powerspectrum(logamp_ps, f_axis)
-    phs_var = integrate_powerspectrum(powerspec, f_axis)
-    fitting_error = integrate_powerspectrum(powerspec * hf_mask, f_axis)
-    phs_var_weights = integrate_powerspectrum(ps_per_layer, f_axis) / phs_var
-    return (powerspec, logamp_ps, logamp_var, phs_var, fitting_error,
-            aniso_servo_error, alias_error, phs_var_weights)
 
 
 def build_sweep(base_params, samples):
@@ -137,30 +84,35 @@ def build_sweep(base_params, samples):
             wind_vec_b[i] += calculate_wind_correction(
                 h_b[i], np.asarray(samples["ANISO_DL"])[i], p["TLOOP"])
 
-    # --- one vmapped PSD assembly over the sample axis ---
+    # --- one vmapped PSD assembly over the sample axis (the same jitted
+    # program the engine's compute_powerspec runs, so clones match full
+    # per-sample inits by construction) ---
     freq = base.freq
-    fx_axis = jnp.asarray(freq.main.fx_axis)
-    fy_axis = jnp.asarray(freq.main.fy_axis)
-    Xm = fx_axis[None, :] * jnp.ones_like(fy_axis)[:, None]
-    Ym = jnp.ones_like(fx_axis)[None, :] * fy_axis[:, None]
+    grid_args, (lf_mask,), rest, statics = base._psd_args(
+        freq.main, base.lf_mask)
+    f_grid = np.asarray(freq.main.f, np.float64)
+    hf_mask = np.asarray(base.hf_mask, np.float64)
+    pupil_filter = np.asarray(base.pupil_filter, np.float64)
+    shared = rest[4:]  # noise, Dsubap, texp, tloop, wvl, D_ground, L0, l0
 
     assemble = jax.vmap(
-        lambda cn2, h, v, dth: _assemble_one(
-            cn2, h, v, dth, jnp.asarray(base.lf_mask),
-            jnp.asarray(base.hf_mask), jnp.asarray(base.pupil_filter),
-            jnp.asarray(freq.main.fx), jnp.asarray(freq.main.fy),
-            jnp.asarray(freq.main.fabs), Xm, Ym, jnp.asarray(freq.main.f),
-            jnp.asarray(base.noise_powerspec), base.D_ground, base.wvl,
-            base.Zmax, base.tloop, base.texp, base.Dsubap, base.L0, base.l0,
-            base.ao_mode, bool(base.alias), 5, 5))
+        lambda cn2, h, v, dth: psd.assemble_main(
+            *grid_args, f_grid, lf_mask, hf_mask, pupil_filter,
+            cn2, h, v, dth, *shared, full_outputs=False, **statics))
 
     ctx = jax.default_device(base._cpu) if base._cpu else _Null()
     with ctx:
-        (powerspec_b, logamp_ps_b, logamp_var_b, phs_var_b, fit_b,
-         aniso_b, alias_err_b, weights_b) = [
-            np.asarray(x) for x in assemble(
-                jnp.asarray(cn2_b), jnp.asarray(h_b), jnp.asarray(wind_vec_b),
-                jnp.asarray(dtheta_b))]
+        out = jax.tree.map(np.asarray, assemble(
+            jnp.asarray(cn2_b), jnp.asarray(h_b), jnp.asarray(wind_vec_b),
+            jnp.asarray(dtheta_b)))
+    powerspec_b = out["powerspec"]
+    logamp_ps_b = out["logamp_powerspec"]
+    logamp_var_b = out["logamp_var"]
+    phs_var_b = out["phs_var"]
+    fit_b = out["fitting_error"]
+    aniso_b = out["aniso_servo_error"]
+    alias_err_b = out["alias_error"]
+    weights_b = out["phs_var_weights"]
 
     # --- stamp out lightweight clones ---
     sims = []
