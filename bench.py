@@ -1,11 +1,14 @@
-"""Benchmark: Monte Carlo realizations/sec of the flagship 256^2 AO link.
+"""Benchmark: Monte Carlo throughput of the flagship AO link.
 
-Metric (BASELINE.json): MC realizations/sec/chip at a 256^2 grid for an
-AO-corrected satellite link. Baseline = the reference implementation's
-numpy path on this host's CPU (no pyFFTW available), measured via
-``FAST_TPU_MEASURE_REF=1`` and recorded below.
+Headline metric (BASELINE.json): MC realizations/sec/chip at a 256^2 grid
+for an AO-corrected satellite link. Baseline = the reference
+implementation's numpy path on this host's CPU (no pyFFTW available),
+measured via ``FAST_TPU_MEASURE_REF=1`` and recorded below.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"secondary"} — secondary carries the 512^2 figure and the temporal
+AR-frozen-flow steps/sec so size/temporal regressions are caught by the
+driver, not prose.
 """
 
 import json
@@ -22,7 +25,6 @@ import numpy as np
 REF_CPU_RPS = 30.4
 
 NITER = 16384
-NCHUNKS = 1
 REP_SETS = 5  # best-of-N: the sandbox TPU is pooled and throughput varies
 REPS_PER_SET = 3
 
@@ -42,24 +44,13 @@ def measure_reference():
     return p["NITER"] / (time.time() - t0)
 
 
-def main():
+def measure_rps(sim, niter, rep_sets=REP_SETS, reps=REPS_PER_SET,
+                temporal=False):
+    """Best-of-N steady-state throughput of the full jitted run program."""
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_fast_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-    import __graft_entry__ as g
-    import fast_tpu
 
-    ref_rps = REF_CPU_RPS
-    if os.environ.get("FAST_TPU_MEASURE_REF"):
-        ref_rps = measure_reference()
-        print(f"# measured reference CPU: {ref_rps:.1f} r/s", file=sys.stderr)
-
-    sim = fast_tpu.Fast(g._flagship_params(
-        npxls=256, niter=NITER, nchunks=NCHUNKS, RNG="rbg",
-        SYNTH=os.environ.get("FAST_TPU_SYNTH", "colfac")))
-    run_all = sim._run_all_fn()
+    run_all = (sim._run_all_fn_temporal_ar() if temporal
+               else sim._run_all_fn())
     key = jax.random.key(0, impl="rbg")
 
     # compile + warm (two fetch cycles: first real execution can include
@@ -69,20 +60,57 @@ def main():
         assert np.isfinite(checksum)
 
     best = 0.0
-    for r in range(REP_SETS):
+    for r in range(rep_sets):
         t0 = time.time()
-        for i in range(REPS_PER_SET):
+        for i in range(reps):
             out = run_all(key, jax.random.fold_in(key, 10 * r + i))
         checksum = float(out.sum())
-        dt = (time.time() - t0) / REPS_PER_SET
-        best = max(best, NITER / dt)
-        print(f"# set {r}: {NITER / dt:.0f} r/s", file=sys.stderr)
+        dt = (time.time() - t0) / reps
+        best = max(best, niter / dt)
+        print(f"#   set {r}: {niter / dt:.0f} /s", file=sys.stderr)
+    return best
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_fast_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import __graft_entry__ as g
+    import fast_tpu
+
+    ref_rps = REF_CPU_RPS
+    if os.environ.get("FAST_TPU_MEASURE_REF"):
+        ref_rps = measure_reference()
+        print(f"# measured reference CPU: {ref_rps:.1f} r/s", file=sys.stderr)
+
+    synth = os.environ.get("FAST_TPU_SYNTH", "colfac")
+
+    print("# 256^2 iid", file=sys.stderr)
+    sim = fast_tpu.Fast(g._flagship_params(
+        npxls=256, niter=NITER, nchunks=1, RNG="rbg", SYNTH=synth))
+    best_256 = measure_rps(sim, NITER)
+
+    print("# 512^2 iid", file=sys.stderr)
+    sim512 = fast_tpu.Fast(g._flagship_params(
+        npxls=512, niter=8192, nchunks=1, RNG="rbg", SYNTH=synth))
+    best_512 = measure_rps(sim512, 8192)
+
+    print("# 256^2 temporal AR frozen flow", file=sys.stderr)
+    sim_t = fast_tpu.Fast(g._flagship_params(
+        npxls=256, niter=16384, nchunks=64, RNG="rbg", TEMPORAL=True,
+        TEMPORAL_SYNTH="ar", DT=0.001))
+    best_t = measure_rps(sim_t, 16384, rep_sets=3, reps=1, temporal=True)
 
     print(json.dumps({
         "metric": "mc_realizations_per_sec_256sq_chip",
-        "value": round(best, 1),
+        "value": round(best_256, 1),
         "unit": "realizations/s",
-        "vs_baseline": round(best / ref_rps, 1),
+        "vs_baseline": round(best_256 / ref_rps, 1),
+        "secondary": {
+            "mc_realizations_per_sec_512sq_chip": round(best_512, 1),
+            "temporal_ar_steps_per_sec_256sq": round(best_t, 1),
+        },
     }))
 
 

@@ -85,6 +85,16 @@ TPU_DEFAULTS = {
                             # 'pallas_fused' (fully fused on-chip kernels)
     "PRECISION": "highest", # TPU matmul precision for 'matmul' synthesis:
                             # 'highest' (full f32) | 'high' (bf16x3) | 'default'
+    "TEMPORAL_SYNTH": "auto",  # frozen-flow synthesis: 'screens' (one large
+                            # screen per layer, grid grows with NITER as in
+                            # the reference) | 'ar' (AR(1)-in-Fourier
+                            # evolution on the fixed grid, arXiv:1512.05424)
+                            # | 'auto' (screens while the grown grid stays
+                            # <= 2048 px, else ar)
+    "TEMPORAL_ALPHA": "auto",  # AR mode-survival factor per step: 1.0 =
+                            # pure frozen flow; 'auto' decorrelates modes
+                            # over one grid-wrap time when the series is
+                            # long enough to wrap
 }
 
 

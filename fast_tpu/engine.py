@@ -213,6 +213,19 @@ class Fast:
             self.dx = p["DX"]
 
         wind_spd_raw = np.asarray(p["WIND_SPD"], dtype=float)
+        # no-wrap pixel bound of the reference's frozen-flow mode
+        # (``fast/fast.py:181-185``); the AR temporal path does not grow
+        # the grid with NITER, so it ignores this bound
+        temporal_npxls = (int(wind_spd_raw.max() * p["DT"] * p["NITER"]
+                              / self.dx / 2) if p["TEMPORAL"] else 0)
+        self._temporal_synth = p.get("TEMPORAL_SYNTH", "auto")
+        if self._temporal_synth == "auto":
+            self._temporal_synth = "screens" if temporal_npxls <= 2048 \
+                else "ar"
+        if self._temporal_synth not in ("screens", "ar"):
+            raise ValueError("TEMPORAL_SYNTH must be 'auto'|'screens'|'ar'")
+        grow = p["TEMPORAL"] and self._temporal_synth == "screens"
+
         if p["NPXLS"] == "auto":
             nyq_aniso = np.pi / (self.h[-1] * self.paa / 206265.0)
             nyq_servo = np.pi / (max(self.wind_speed) * p["TLOOP"])
@@ -220,12 +233,8 @@ class Fast:
             nyq = np.min([nyq_aniso, nyq_servo, nyq_fitting])
             nyq_npxls = int(2 * np.ceil(2 * np.pi / (nyq * self.dx) / 2))
             ap_npxls = int(2 * np.ceil(p["D_GROUND"] / self.dx / 2)) + 2
-            if p["TEMPORAL"]:
-                temporal_npxls = int(
-                    wind_spd_raw.max() * p["DT"] * p["NITER"] / self.dx / 2)
-            else:
-                temporal_npxls = 0
-            self.Npxls = int(np.max([nyq_npxls, ap_npxls, temporal_npxls]))
+            self.Npxls = int(np.max([nyq_npxls, ap_npxls,
+                                     temporal_npxls if grow else 0]))
             logger.info("Auto set NPXLS to %s", self.Npxls)
 
             if p["AO_MODE"] == "NOAO" and not np.isinf(p["L0"]):
@@ -236,13 +245,10 @@ class Fast:
                         "undersampled. Recommended NPXLS: %s", L0_npxls)
         else:
             self.Npxls = p["NPXLS"]
-            if p["TEMPORAL"]:
-                temporal_npxls = int(
-                    wind_spd_raw.max() * p["DT"] * p["NITER"] / self.dx / 2)
-                if self.Npxls < temporal_npxls:
-                    logger.warning(
-                        "NPXLS likely too small; recommended: %s",
-                        temporal_npxls)
+            if grow and self.Npxls < temporal_npxls:
+                logger.warning(
+                    "NPXLS likely too small; recommended: %s",
+                    temporal_npxls)
 
         if self.Npxls > 2048:
             logger.warning(
@@ -545,6 +551,21 @@ class Fast:
             self._sh_df = self.freq.subharm.df.astype(dt)
         if self.temporal:
             self._sqrt_psd_layers = np.sqrt(self.powerspec_per_layer).astype(dt)
+            # AR temporal path: mode-survival factor per layer. 'auto'
+            # keeps pure frozen flow (alpha=1) when the series is shorter
+            # than one grid wrap, else decorrelates modes over one wrap
+            # time so the fixed grid never repeats visibly.
+            alpha_cfg = self.params.get("TEMPORAL_ALPHA", "auto")
+            wrap_steps = np.where(
+                self.wind_speed > 0,
+                self.Npxls * self.dx / (np.maximum(self.wind_speed, 1e-30)
+                                        * self.dt), np.inf)
+            if alpha_cfg == "auto":
+                alpha = np.where(self.Niter <= wrap_steps, 1.0,
+                                 np.exp(-1.0 / wrap_steps))
+            else:
+                alpha = np.full(len(self.h), float(alpha_cfg))
+            self._ar_alpha = alpha.astype(dt)
 
     def set_seed(self, seed):
         self.seed = seed
@@ -708,6 +729,71 @@ class Fast:
 
         return run_all
 
+    def _run_all_fn_temporal_ar(self):
+        """One jitted AR(1)-in-Fourier frozen-flow program on the fixed grid.
+
+        Outer ``lax.scan`` over chunks, inner scan over steps (cheap
+        per-step phasor multiplies), then one *batched* centered ifft2 and
+        detector reduction per chunk — so the FFTs amortize like the iid
+        path while memory stays at one (B, N, N) block regardless of NITER
+        (the reference's grid grows as ``v dt NITER / dx / 2``,
+        ``fast/fast.py:181-185``).
+        """
+        dx = self.dx
+        coherent = bool(self.params["COHERENT"])
+        norm = self._norm
+        pm = self._pm
+        nchunks = self.Nchunks
+        B = self.Niter_per_chunk
+        dt_np = np.dtype(str(self.dtype))
+        cdt = np.complex64 if dt_np == np.float32 else np.complex128
+        lo, hi = self.pup_crop
+
+        sqrt_psd_df = (self._sqrt_psd_layers
+                       * np.float64(self.freq.main.df)).astype(dt_np)
+        v = np.asarray(self.wind_vector, dt_np)  # (nlayers, 2)
+        fxm = np.asarray(self.freq.main.fx, dt_np)
+        fym = np.asarray(self.freq.main.fy, dt_np)
+        phase = (fxm[None] * v[:, 0, None, None]
+                 + fym[None] * v[:, 1, None, None]) * np.asarray(self.dt,
+                                                                 dt_np)
+        step_phasor = np.exp(1j * phase.astype(np.float64)).astype(cdt)
+        alpha = self._ar_alpha[:, None, None]
+        boiling = bool(np.any(self._ar_alpha < 1.0))
+        sqrt1ma = np.sqrt(np.maximum(0.0, 1.0 - alpha.astype(np.float64) ** 2)
+                          ).astype(dt_np)
+
+        niter = self.Niter
+        logamp_var = float(self.logamp_var)
+        temporal_ps = self.temporal_logamp_powerspec
+
+        @jax.jit
+        def run_all(key_logamp, key_scr):
+            chi = synthesis.draw_logamp(
+                key_logamp, niter, logamp_var,
+                temporal_powerspec=temporal_ps, dtype=dt_np)
+            kinit, knoise = jax.random.split(key_scr)
+            a0 = synthesis.complex_normal(
+                kinit, sqrt_psd_df.shape, dtype=cdt) * sqrt_psd_df
+
+            def body(carry, chi_c):
+                a, k = carry
+                a, k, A = synthesis.ar_flow_series(
+                    a, k, step_phasor, sqrt_psd_df, alpha, sqrt1ma, B,
+                    boiling)
+                phs = ift2(A, 1.0).real[:, lo:hi, lo:hi]
+                pc = synthesis.detector_coupling(phs, pm, dx, norm)
+                out = jnp.exp(chi_c).astype(pc.real.dtype) * pc
+                if not coherent:
+                    return (a, k), jnp.abs(out) ** 2
+                return (a, k), jnp.stack([out.real, out.imag], axis=-1)
+
+            _, outs = jax.lax.scan(body, (a0, knoise),
+                                   chi.reshape((nchunks, B)))
+            return outs.reshape((nchunks * B,) + outs.shape[2:])
+
+        return run_all
+
     def run(self, progress=False):
         """Draw all Monte Carlo realizations; returns :class:`FastResult`.
 
@@ -764,7 +850,9 @@ class Fast:
             run_all = self._run_all_fn()
             I = self._combine_complex(run_all(key_logamp, key_mc), coherent)
         else:
-            run_all = self._run_all_fn_temporal()
+            run_all = (self._run_all_fn_temporal_ar()
+                       if self._temporal_synth == "ar"
+                       else self._run_all_fn_temporal())
             I = self._combine_complex(run_all(key_logamp, key_scr), coherent)
         self.result = FastResult(I, self.diffraction_limit)
         self.I = self.result.power  # backwards compatibility

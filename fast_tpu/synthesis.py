@@ -225,6 +225,50 @@ def sample_frozen_flow(screens, row_coords, col_coords):
     return phs.sum(0)
 
 
+def ar_flow_series(a, key, step_phasor, sqrt_psd_df, alpha, sqrt1ma, nsteps,
+                   boiling):
+    """Evolve the AR(1)-in-Fourier frozen-flow state by ``nsteps`` steps.
+
+    Per Fourier mode kappa and layer l (Srinath et al. 2015,
+    arXiv:1512.05424):
+
+        a[t+1] = alpha_l * e^{i kappa . v_l dt} * a[t]
+                 + sqrt(1 - alpha_l^2) * sqrt(PSD_l) df * zeta[t]
+
+    The unit phasor is *exact* periodic translation on the fixed grid
+    (replacing the reference's grid-grows-with-NITER screens,
+    ``fast/fast.py:181-185,607-637``); ``alpha < 1`` adds per-mode boiling
+    that also prevents the series from wrapping periodically. The
+    stationary distribution equals the standard FFT screen draw for any
+    ``alpha``.
+
+    Args:
+        a: (nlayers, N, N) complex state at the block start.
+        key: PRNG key (consumed only when ``boiling``).
+        step_phasor: (nlayers, N, N) complex ``e^{i kappa . v dt}``.
+        sqrt_psd_df: (nlayers, N, N) real ``sqrt(PSD) * df``.
+        alpha, sqrt1ma: (nlayers, 1, 1) AR factors.
+        nsteps: static block length.
+        boiling: static; False skips the noise draw entirely (pure frozen
+            flow, ``alpha == 1``).
+
+    Returns:
+        (a_final, key_final, A) with ``A`` (nsteps, N, N) the layer-summed
+        coefficients after each step.
+    """
+    def step(carry, _):
+        a, k = carry
+        a = step_phasor * a
+        if boiling:
+            k, sub = jax.random.split(k)
+            z = complex_normal(sub, a.shape, dtype=a.dtype)
+            a = alpha * a + sqrt1ma * (z * sqrt_psd_df)
+        return (a, k), a.sum(0)
+
+    (a, key), A = jax.lax.scan(step, (a, key), None, length=nsteps)
+    return a, key, A
+
+
 def detector_coupling(phs, pupil_mode, dx, normalisation):
     """Pupil-overlap reduction to one complex coupling per realization.
 

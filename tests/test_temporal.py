@@ -90,3 +90,106 @@ def test_chunk_continuity():
     within = np.mean([x[i] * x[i + 1] for i in range(5)])
     across = x[9] * x[10]
     assert np.sign(within) == np.sign(across) or abs(across) < 5 * abs(within)
+
+
+class TestARFrozenFlow:
+    """AR(1)-in-Fourier temporal path (fixed grid, arXiv:1512.05424)."""
+
+    def test_mode_variance_preserved(self):
+        """The AR update's stationary per-mode variance equals the draw's."""
+        import jax
+        import jax.numpy as jnp
+
+        rng_psd = np.random.default_rng(1)
+        sqrt_psd_df = jnp.asarray(
+            rng_psd.uniform(0.5, 2.0, (2, 16, 16)), jnp.float32)
+        ph = jnp.exp(1j * jnp.asarray(
+            rng_psd.uniform(-3, 3, (2, 16, 16)), jnp.float32)).astype(
+                jnp.complex64)
+        alpha = jnp.full((2, 1, 1), 0.9, jnp.float32)
+        s1ma = jnp.sqrt(1 - alpha ** 2)
+
+        def one(key):
+            k0, k1 = jax.random.split(key)
+            a0 = synthesis.complex_normal(k0, (2, 16, 16)) * sqrt_psd_df
+            a, _, _ = synthesis.ar_flow_series(
+                a0, k1, ph, sqrt_psd_df, alpha, s1ma, 50, True)
+            return a
+
+        keys = jax.random.split(jax.random.key(7), 400)
+        a_fin = jax.vmap(one)(keys)  # (400, 2, 16, 16)
+        var = np.asarray(jnp.abs(a_fin) ** 2).mean(0)
+        expect = 2 * np.asarray(sqrt_psd_df) ** 2  # E|CN|^2 = 2
+        np.testing.assert_allclose(var, expect, rtol=0.35)
+        assert abs(var.mean() / expect.mean() - 1) < 0.05
+
+    def test_pure_frozen_flow_is_exact_translation(self):
+        """alpha=1: step t equals the t-pixel periodic roll of step 0."""
+        import jax
+        import jax.numpy as jnp
+        from fast_tpu.ops.fourier import ift2
+
+        N = 32
+        dx = 0.02
+        df = 2 * np.pi / (N * dx)
+        fx_axis = np.arange(-N / 2, N / 2) * df
+        fxm = np.tile(fx_axis, (N, 1))
+        fym = fxm.T
+        sqrt_psd_df = jnp.asarray(
+            np.random.default_rng(2).uniform(0.5, 1, (1, N, N)), jnp.float32)
+        # wind = exactly one pixel per step along x
+        vx = dx / 1.0  # with dt = 1
+        ph = jnp.exp(1j * jnp.asarray(fxm * vx, jnp.float64)[None]).astype(
+            jnp.complex64)
+        a0 = synthesis.complex_normal(jax.random.key(0), (1, N, N)) \
+            * sqrt_psd_df
+        alpha = jnp.ones((1, 1, 1), jnp.float32)
+        _, _, A = synthesis.ar_flow_series(
+            a0, jax.random.key(1), ph, sqrt_psd_df, alpha, 0 * alpha, 5,
+            False)
+        scr = np.asarray(ift2(A, 1.0).real)
+        scr0 = np.asarray(ift2(a0.sum(0), 1.0).real)
+        for t in range(5):
+            rolled = np.roll(scr0, -(t + 1), axis=1)
+            np.testing.assert_allclose(scr[t], rolled, rtol=2e-4, atol=2e-5)
+
+    def test_ar_engine_run_statistics(self):
+        """AR series: stationary, frozen-flow-correlated, iid-like marginal."""
+        from scipy.stats import ks_2samp
+
+        p = make_test_params(NPXLS=164, NITER=3000, NCHUNKS=30, SEED=3)
+        sa = fast_tpu.Fast({**p, "TEMPORAL": True, "TEMPORAL_SYNTH": "ar"})
+        assert sa.Npxls == 164  # grid does NOT grow with NITER
+        Ia = np.asarray(sa.run().power)
+        assert np.isfinite(Ia).all()
+        # stationarity: thirds agree in mean within correlated-series noise
+        t1, t3 = Ia[:1000], Ia[-1000:]
+        assert abs(t1.mean() / t3.mean() - 1) < 0.5
+        # short-lag correlation is high (frozen flow)
+        x = Ia - Ia.mean()
+        ac1 = (x[:-1] * x[1:]).mean() / x.var()
+        assert ac1 > 0.9
+        # marginal matches iid draws on the same grid (subsample beyond
+        # the correlation time)
+        si = fast_tpu.Fast({**p, "TEMPORAL": False, "SYNTH": "fft",
+                            "SEED": 11})
+        Ii = np.asarray(si.run().power)
+        assert ks_2samp(Ia[::150], Ii).pvalue > 1e-3
+
+    def test_auto_rule_picks_ar_for_long_series(self):
+        p = make_test_params(TEMPORAL=True, NITER=50000, NCHUNKS=500,
+                             NPXLS=64, DX=0.02, SEED=4)
+        sim = fast_tpu.Fast(p)
+        assert sim._temporal_synth == "ar"
+        assert sim.Npxls == 64
+        assert (sim._ar_alpha < 1).any()  # long series -> boiling on
+        # short series keeps pure frozen flow under 'auto'
+        p2 = make_test_params(TEMPORAL=True, NITER=50, NPXLS=164,
+                              NCHUNKS=1, TEMPORAL_SYNTH="ar", SEED=4)
+        sim2 = fast_tpu.Fast(p2)
+        assert (sim2._ar_alpha == 1).all()
+
+    def test_bad_synth_rejected(self):
+        p = make_test_params(TEMPORAL=True, TEMPORAL_SYNTH="banana")
+        with pytest.raises(ValueError, match="TEMPORAL_SYNTH"):
+            fast_tpu.Fast(p)
