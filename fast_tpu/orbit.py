@@ -66,18 +66,63 @@ def fov_angle_components(alt0, az0, alt1, az1):
     return dx, dy
 
 
-def sample_pass_geometry(provider, times, Tloop):
+def fov_rotation(alt0, az0, alt1, az1):
+    """Telescope field-of-view rotation between two sky directions [rad].
+
+    ``pi - beta1 - beta0`` where ``beta0``/``beta1`` are the spherical-
+    triangle angles at the two directions (vertices: zenith and the two
+    directions) — the reference's rotation output
+    (``complete_orbit_simulation.py:165-169``).
+    """
+    z0 = np.radians(90 - np.asarray(alt0))
+    z1 = np.radians(90 - np.asarray(alt1))
+    daz = np.radians(np.asarray(az1) - np.asarray(az0))
+    cos_a = np.cos(z1) * np.cos(z0) + np.sin(z1) * np.sin(z0) * np.cos(daz)
+    cos_a = np.clip(cos_a, -1.0, 1.0)
+    sin_a = np.sqrt(1 - cos_a ** 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        beta0 = np.arccos(np.clip(
+            (np.cos(z1) - np.cos(z0) * cos_a) / (sin_a * np.sin(z0)), -1, 1))
+        beta1 = np.arccos(np.clip(
+            (np.cos(z0) - cos_a * np.cos(z1)) / (sin_a * np.sin(z1)), -1, 1))
+    return np.pi - beta1 - beta0
+
+
+def _provider_at(provider, t, lon_shift_deg):
+    """Evaluate a provider, passing the station longitude shift when the
+    provider supports it (rotating-Earth ephemerides); fall back to the
+    fixed-station evaluation otherwise."""
+    if lon_shift_deg:
+        try:
+            return provider(t, lon_shift_deg=lon_shift_deg)
+        except TypeError:
+            pass
+    return provider(t)
+
+
+def sample_pass_geometry(provider, times, Tloop, paa_station_shift=True,
+                         rotations=False):
     """Per-sample link geometry from an ephemeris provider.
 
     Args:
-        provider: callable ``t -> (alt_deg, az_deg, dist_m)``.
+        provider: callable ``t -> (alt_deg, az_deg, dist_m)``; it may
+            optionally accept ``lon_shift_deg`` (station longitude offset,
+            for Earth-rotation corrections).
         times: 1-D array of sample times [s].
         Tloop: AO loop delay [s].
+        paa_station_shift: evaluate the point-ahead direction against the
+            ground station shifted backwards by the Earth rotation over
+            the two-way light time, as the reference does
+            (``complete_orbit_simulation.py:139-143``). Only effective for
+            providers that accept ``lon_shift_deg``.
+        rotations: also compute the FoV rotation per sample [rad]
+            (reference ``complete_orbit_simulation.py:165-169``).
 
     Returns:
         dict with per-sample arrays: ``paa`` (N, 2) and ``aniso_dl`` (N, 2)
         in arcsec, ``altitudes``, ``azimuts`` [deg], ``distances`` [m],
-        ``zenith_angles`` [deg].
+        ``zenith_angles`` [deg], and — when requested — ``rotations``
+        [rad].
     """
     times = np.asarray(times, dtype=float)
     n = len(times)
@@ -86,20 +131,25 @@ def sample_pass_geometry(provider, times, Tloop):
     dist0 = np.zeros(n)
     paa = np.zeros((n, 2))
     aniso = np.zeros((n, 2))
+    rot = np.zeros(n)
 
     for i, t in enumerate(times):
         alt0[i], az0[i], dist0[i] = provider(t)
-        # point-ahead: two-way light time
+        # point-ahead: two-way light time, station rewound by the Earth
+        # rotation over it (reference ``complete_orbit_simulation.py:140``)
         dt_paa = 2 * dist0[i] / _C
-        alt_p, az_p, _ = provider(t + dt_paa)
+        lon_shift = -360.0 * dt_paa / 86400.0 if paa_station_shift else 0.0
+        alt_p, az_p, _ = _provider_at(provider, t + dt_paa, lon_shift)
         paa[i] = fov_angle_components(alt0[i], az0[i], alt_p, az_p)
         # downlink anisoplanatism: satellite motion over one loop delay
         alt_d, az_d, _ = provider(t + Tloop)
         aniso[i] = fov_angle_components(alt0[i], az0[i], alt_d, az_d)
+        if rotations:
+            rot[i] = fov_rotation(alt0[i], az0[i], alt_d, az_d)
 
     paa = np.nan_to_num(paa * 3600)
     aniso = np.nan_to_num(aniso * 3600)
-    return {
+    out = {
         "paa": paa,
         "aniso_dl": aniso,
         "altitudes": alt0,
@@ -107,6 +157,9 @@ def sample_pass_geometry(provider, times, Tloop):
         "distances": dist0,
         "zenith_angles": 90 - alt0,
     }
+    if rotations:
+        out["rotations"] = rot
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -176,23 +229,27 @@ def get_satellite_obj(TLE_file_path, satellite_name=None):
     return satellites[0]
 
 
-def skyfield_provider(satellite, tele_lat, tele_lon, t_rise, paa_station_shift=True):
+def skyfield_provider(satellite, tele_lat, tele_lon, t_rise):
     """Ephemeris provider backed by a skyfield satellite object.
 
     ``t_rise`` is the epoch (UTC datetime) that provider time ``t = 0``
-    refers to. When used for point-ahead evaluation, the reference also
-    shifts the ground station backwards by the Earth rotation over the
-    light time (``complete_orbit_simulation.py:140``); this provider
-    evaluates at fixed station (the sub-arcsecond difference is far below
-    the PAA itself).
+    refers to. Accepts ``lon_shift_deg`` so
+    :func:`sample_pass_geometry` can evaluate the point-ahead direction
+    against the station rewound by the Earth rotation over the two-way
+    light time, exactly as the reference does
+    (``complete_orbit_simulation.py:139-143``).
     """
     _require_skyfield()
     ts = _sf_load.timescale()
     telescope = _sf_wgs84.latlon(tele_lat, tele_lon)
     difference = satellite - telescope
 
-    def provider(t):
-        topo = difference.at(
+    def provider(t, lon_shift_deg=0.0):
+        diff = difference
+        if lon_shift_deg:
+            diff = satellite - _sf_wgs84.latlon(tele_lat,
+                                                tele_lon + lon_shift_deg)
+        topo = diff.at(
             ts.from_datetime(datetime.timedelta(seconds=float(t)) + t_rise))
         alt, az, dist = topo.altaz()
         return alt.degrees, az.degrees, dist.m
@@ -255,12 +312,11 @@ def get_angles_positions(sample_times, satellite, tele_lat, tele_lon, t_rise,
     in arcsec (reference ``complete_orbit_simulation.py:95-184``).
     """
     provider = skyfield_provider(satellite, tele_lat, tele_lon, t_rise)
-    geo = sample_pass_geometry(provider, sample_times, Tloop)
+    geo = sample_pass_geometry(provider, sample_times, Tloop,
+                               rotations=rotations)
     if rotations:
-        logger.warning("FoV rotation output not implemented; returning zeros")
-        rot = np.zeros(len(sample_times))
         return (geo["paa"], geo["aniso_dl"], geo["altitudes"],
-                geo["azimuts"], geo["distances"], rot)
+                geo["azimuts"], geo["distances"], geo["rotations"])
     return (geo["paa"], geo["aniso_dl"], geo["altitudes"], geo["azimuts"],
             geo["distances"])
 
