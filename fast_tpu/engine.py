@@ -643,28 +643,58 @@ class Fast:
 
         A single device dispatch regardless of NCHUNKS — chunking bounds
         peak memory (the reference used it the same way,
-        ``fast/fast.py:87-93``) while XLA pipelines the chunks.
+        ``fast/fast.py:87-93``) while XLA pipelines the chunks. For the
+        fft/matmul/colfac paths the per-config constants are *traced
+        arguments* of a module-level program, so instances sharing shapes
+        (sweeps, re-inits) share one compilation; complex constants ship
+        as stacked (real, imag) floats because complex arrays cannot cross
+        program boundaries on all TPU runtimes.
         """
-        chunk = self._chunk_body()
-        nchunks = self.Nchunks
-        B = self.Niter_per_chunk
+        synth = self._synth
+        if synth in ("pallas", "pallas_fused"):
+            # the Pallas kernels take their tables as trace-time constants
+            chunk = self._chunk_body()
+            nchunks = self.Nchunks
+            B = self.Niter_per_chunk
+            niter = self.Niter
+            logamp_var = float(self.logamp_var)
+            dtype = self.dtype
 
-        niter = self.Niter
-        logamp_var = float(self.logamp_var)
-        dtype = self.dtype
+            @jax.jit
+            def run_all(key_logamp, key_mc):
+                chi = synthesis.draw_logamp(key_logamp, niter, logamp_var,
+                                            dtype=dtype)
+                keys = jax.vmap(lambda i: jax.random.fold_in(key_mc, i))(
+                    jnp.arange(nchunks))
+                _, outs = jax.lax.scan(
+                    lambda c, inp: (c, chunk(inp[0], inp[1])), 0,
+                    (keys, chi.reshape(nchunks, B)))
+                return outs.reshape((nchunks * B,) + outs.shape[2:])
 
-        @jax.jit
-        def run_all(key_logamp, key_mc):
-            chi = synthesis.draw_logamp(key_logamp, niter, logamp_var,
-                                        dtype=dtype)
-            keys = jax.vmap(lambda i: jax.random.fold_in(key_mc, i))(
-                jnp.arange(nchunks))
-            _, outs = jax.lax.scan(
-                lambda c, inp: (c, chunk(inp[0], inp[1])), 0,
-                (keys, chi.reshape(nchunks, B)))
-            return outs.reshape((nchunks * B,) + outs.shape[2:])
+            return run_all
 
-        return run_all
+        dt = np.dtype(str(self.dtype))
+        C = dict(
+            sqrt_psd=self._sqrt_psd, pm=self._pm,
+            df=dt.type(self.freq.main.df), dx=dt.type(self.dx),
+            norm=dt.type(self._norm), logamp_var=dt.type(self.logamp_var))
+        if synth in ("matmul", "colfac"):
+            W = np.asarray(self._W_pruned)
+            C["w2"] = np.stack([W.real, W.imag]).astype(dt)
+        if synth == "colfac":
+            L = np.asarray(self._L_colfac)
+            C["l2"] = np.stack([L.real, L.imag]).astype(dt)
+        if self.subharmonics:
+            C["sqrt_psd_sh"] = self._sqrt_psd_sh
+            M = np.asarray(self._sh_modes)
+            C["sh_modes2"] = np.stack([M.real, M.imag]).astype(dt)
+            C["sh_df"] = np.asarray(self._sh_df, dt)
+        import functools as _ft
+        return _ft.partial(
+            _run_all_iid, C=C, synth=synth, nchunks=self.Nchunks,
+            B=self.Niter_per_chunk, coherent=bool(self.params["COHERENT"]),
+            subharm=bool(self.subharmonics), crop=self.pup_crop,
+            precision=self.params["PRECISION"])
 
     @staticmethod
     def _combine_complex(arr, coherent):
@@ -682,52 +712,22 @@ class Fast:
         a single device dispatch; the reference advanced coordinates
         host-side between chunks (``fast/fast.py:635``).
         """
-        dx = self.dx
-        coherent = bool(self.params["COHERENT"])
-        norm = self._norm
-        pm = self._pm
-        nchunks = self.Nchunks
-        B = self.Niter_per_chunk
         dt = np.dtype(str(self.dtype))
         # (nlayers, 2, T, Npup) chunk-0 trajectory + per-chunk advance
         base0 = (self.pup_coords[np.newaxis, :, np.newaxis, :].astype(float)
                  + self.pixel_shifts[:, :, :, np.newaxis]).astype(dt)
         shift_chunk = self.pixel_shifts[:, :, -1].astype(dt)  # (nl, 2)
-
-        def chunk(screens, rows, cols, chi):
-            phs = synthesis.sample_frozen_flow(screens, rows, cols)
-            pc = synthesis.detector_coupling(phs, pm, dx, norm)
-            out = jnp.exp(chi).astype(pc.real.dtype) * pc
-            if not coherent:
-                return jnp.abs(out) ** 2
-            return jnp.stack([out.real, out.imag], axis=-1)
-
-        niter = self.Niter
-        logamp_var = float(self.logamp_var)
-        sqrt_psd_layers = self._sqrt_psd_layers
-        df = float(self.freq.main.df)
-        temporal_ps = self.temporal_logamp_powerspec
-
-        @jax.jit
-        def run_all(key_logamp, key_scr):
-            chi = synthesis.draw_logamp(
-                key_logamp, niter, logamp_var,
-                temporal_powerspec=temporal_ps, dtype=np.dtype(dt))
-            screens = synthesis.synthesize_layer_screens(
-                key_scr, sqrt_psd_layers, df)
-
-            def body(c, inp):
-                i, chi_i = inp
-                rows = base0[:, 0] + i * shift_chunk[:, 0, None, None]
-                cols = base0[:, 1] + i * shift_chunk[:, 1, None, None]
-                return c, chunk(screens, rows, cols, chi_i)
-
-            idx = jnp.arange(nchunks, dtype=dt)
-            _, outs = jax.lax.scan(body, 0, (idx, chi.reshape(
-                (nchunks, B) + chi.shape[1:])))
-            return outs.reshape((nchunks * B,) + outs.shape[2:])
-
-        return run_all
+        C = dict(
+            sqrt_psd_layers=self._sqrt_psd_layers, pm=self._pm,
+            base0=base0, shift_chunk=shift_chunk,
+            temporal_ps=np.asarray(self.temporal_logamp_powerspec, dt),
+            df=dt.type(self.freq.main.df), dx=dt.type(self.dx),
+            norm=dt.type(self._norm), logamp_var=dt.type(self.logamp_var))
+        import functools as _ft
+        return _ft.partial(
+            _run_all_temporal_screens, C=C, nchunks=self.Nchunks,
+            B=self.Niter_per_chunk, coherent=bool(self.params["COHERENT"]),
+            temporal_chi=True)
 
     def _run_all_fn_temporal_ar(self):
         """One jitted AR(1)-in-Fourier frozen-flow program on the fixed grid.
@@ -739,60 +739,30 @@ class Fast:
         (the reference's grid grows as ``v dt NITER / dx / 2``,
         ``fast/fast.py:181-185``).
         """
-        dx = self.dx
-        coherent = bool(self.params["COHERENT"])
-        norm = self._norm
-        pm = self._pm
-        nchunks = self.Nchunks
-        B = self.Niter_per_chunk
         dt_np = np.dtype(str(self.dtype))
-        cdt = np.complex64 if dt_np == np.float32 else np.complex128
-        lo, hi = self.pup_crop
-
         sqrt_psd_df = (self._sqrt_psd_layers
                        * np.float64(self.freq.main.df)).astype(dt_np)
-        v = np.asarray(self.wind_vector, dt_np)  # (nlayers, 2)
-        fxm = np.asarray(self.freq.main.fx, dt_np)
-        fym = np.asarray(self.freq.main.fy, dt_np)
+        v = np.asarray(self.wind_vector, np.float64)  # (nlayers, 2)
+        fxm = np.asarray(self.freq.main.fx, np.float64)
+        fym = np.asarray(self.freq.main.fy, np.float64)
+        # wrap the per-step translation phase into (-pi, pi] in f64 before
+        # the f32 cast: the raw phase grows with |kappa| and would lose the
+        # fractional cycle that is all that matters
         phase = (fxm[None] * v[:, 0, None, None]
-                 + fym[None] * v[:, 1, None, None]) * np.asarray(self.dt,
-                                                                 dt_np)
-        step_phasor = np.exp(1j * phase.astype(np.float64)).astype(cdt)
-        alpha = self._ar_alpha[:, None, None]
-        boiling = bool(np.any(self._ar_alpha < 1.0))
-        sqrt1ma = np.sqrt(np.maximum(0.0, 1.0 - alpha.astype(np.float64) ** 2)
-                          ).astype(dt_np)
-
-        niter = self.Niter
-        logamp_var = float(self.logamp_var)
-        temporal_ps = self.temporal_logamp_powerspec
-
-        @jax.jit
-        def run_all(key_logamp, key_scr):
-            chi = synthesis.draw_logamp(
-                key_logamp, niter, logamp_var,
-                temporal_powerspec=temporal_ps, dtype=dt_np)
-            kinit, knoise = jax.random.split(key_scr)
-            a0 = synthesis.complex_normal(
-                kinit, sqrt_psd_df.shape, dtype=cdt) * sqrt_psd_df
-
-            def body(carry, chi_c):
-                a, k = carry
-                a, k, A = synthesis.ar_flow_series(
-                    a, k, step_phasor, sqrt_psd_df, alpha, sqrt1ma, B,
-                    boiling)
-                phs = ift2(A, 1.0).real[:, lo:hi, lo:hi]
-                pc = synthesis.detector_coupling(phs, pm, dx, norm)
-                out = jnp.exp(chi_c).astype(pc.real.dtype) * pc
-                if not coherent:
-                    return (a, k), jnp.abs(out) ** 2
-                return (a, k), jnp.stack([out.real, out.imag], axis=-1)
-
-            _, outs = jax.lax.scan(body, (a0, knoise),
-                                   chi.reshape((nchunks, B)))
-            return outs.reshape((nchunks * B,) + outs.shape[2:])
-
-        return run_all
+                 + fym[None] * v[:, 1, None, None]) * float(self.dt)
+        phase = np.angle(np.exp(1j * phase))
+        C = dict(
+            sqrt_psd_df=sqrt_psd_df, step_phase=phase.astype(dt_np),
+            alpha=self._ar_alpha, pm=self._pm,
+            temporal_ps=np.asarray(self.temporal_logamp_powerspec, dt_np),
+            dx=dt_np.type(self.dx), norm=dt_np.type(self._norm),
+            logamp_var=dt_np.type(self.logamp_var))
+        import functools as _ft
+        return _ft.partial(
+            _run_all_temporal_ar, C=C, nchunks=self.Nchunks,
+            B=self.Niter_per_chunk, coherent=bool(self.params["COHERENT"]),
+            crop=self.pup_crop, boiling=bool(np.any(self._ar_alpha < 1.0)),
+            temporal_chi=True)
 
     def run(self, progress=False):
         """Draw all Monte Carlo realizations; returns :class:`FastResult`.
@@ -812,9 +782,10 @@ class Fast:
 
         key = make_key(self.seed, impl=self.params["RNG"])
         key_logamp, _, key_mc = jax.random.split(key, 3)
+        self._logamp_key = key_logamp
         ctx = jax.default_device(self._cpu) if self._cpu else _nullcontext()
         with ctx:
-            self.logamp = np.asarray(synthesis.draw_logamp(
+            self._logamp_cache = np.asarray(synthesis.draw_logamp(
                 key_logamp, self.Niter, self.logamp_var, dtype=self.dtype))
         chunk = jax.jit(self._chunk_body())
         B = self.Niter_per_chunk
@@ -834,16 +805,12 @@ class Fast:
         key = make_key(self.seed, impl=self.params["RNG"])
         key_logamp, key_scr, key_mc = jax.random.split(key, 3)
 
-        # diagnostic copy of the log-amplitude draws (the device program
-        # redraws the identical series in-graph from the same key); kept on
-        # the CPU backend to avoid a device round-trip per run
-        ctx = jax.default_device(self._cpu) if self._cpu else _nullcontext()
-        with ctx:
-            self.logamp = np.asarray(synthesis.draw_logamp(
-                key_logamp, self.Niter, self.logamp_var,
-                temporal_powerspec=(self.temporal_logamp_powerspec
-                                    if self.temporal else None),
-                dtype=self.dtype))
+        # the device program draws the log-amplitude series in-graph from
+        # this key; the diagnostic `sim.logamp` copy is reproduced lazily
+        # on first access (see the `logamp` property) instead of being
+        # drawn twice per run
+        self._logamp_key = key_logamp
+        self._logamp_cache = None
 
         coherent = bool(self.params["COHERENT"])
         if not self.temporal:
@@ -858,6 +825,26 @@ class Fast:
         self.I = self.result.power  # backwards compatibility
         logger.info(self.result)
         return self.result
+
+    @property
+    def logamp(self):
+        """The run's log-amplitude draws (diagnostic; drawn lazily).
+
+        Identical to the series the device program used: same key, same
+        coloring (the in-graph draw is deterministic in the key).
+        """
+        if getattr(self, "_logamp_key", None) is None:
+            raise AttributeError("logamp is available after run()")
+        if self._logamp_cache is None:
+            ctx = jax.default_device(self._cpu) if self._cpu \
+                else _nullcontext()
+            with ctx:
+                self._logamp_cache = np.asarray(synthesis.draw_logamp(
+                    self._logamp_key, self.Niter, self.logamp_var,
+                    temporal_powerspec=(self.temporal_logamp_powerspec
+                                        if self.temporal else None),
+                    dtype=self.dtype))
+        return self._logamp_cache
 
     def sample_screens(self, nscreens=2, key=None):
         """Draw pupil-cropped residual phase screens for inspection.
@@ -1003,6 +990,142 @@ class _nullcontext:
 
     def __exit__(self, *exc):
         return False
+
+
+import functools as _functools
+
+
+@_functools.partial(
+    jax.jit,
+    static_argnames=("synth", "nchunks", "B", "coherent", "subharm", "crop",
+                     "precision"))
+def _run_all_iid(key_logamp, key_mc, C, *, synth, nchunks, B, coherent,
+                 subharm, crop, precision):
+    """Whole iid Monte Carlo run as one shared program.
+
+    ``C`` is a pytree of per-config arrays/scalars (sqrt PSD, pupil*mode,
+    grid scalars, and — stacked as (real, imag) floats — the pruned DFT
+    matrix / column factors / subharmonic modes). One compilation serves
+    every config with the same shapes and flags.
+    """
+    niter = nchunks * B
+    chi_all = synthesis.draw_logamp(key_logamp, niter, C["logamp_var"],
+                                    dtype=C["pm"].dtype)
+    sqrt_psd = C["sqrt_psd"]
+    pm = C["pm"]
+    df, dx, norm = C["df"], C["dx"], C["norm"]
+    W = jax.lax.complex(C["w2"][0], C["w2"][1]) if "w2" in C else None
+    L = jax.lax.complex(C["l2"][0], C["l2"][1]) if "l2" in C else None
+    if subharm:
+        sqrt_psd_sh = C["sqrt_psd_sh"]
+        sh_modes = jax.lax.complex(C["sh_modes2"][0], C["sh_modes2"][1])
+        sh_df = C["sh_df"]
+
+    def chunk(key, chi):
+        kmain, ksub = jax.random.split(key)
+        if synth == "colfac":
+            scr = synthesis.synthesize_screens_colfac(
+                kmain, L, W, B // 2, precision=precision)
+        elif synth == "matmul":
+            scr = synthesis.synthesize_screens_pruned(
+                kmain, sqrt_psd, df, B // 2, W, precision=precision)
+        else:
+            scr = synthesis.synthesize_screens_complex(
+                kmain, sqrt_psd, df, B // 2, crop=crop)
+        if subharm:
+            scr = scr + synthesis.synthesize_subharm_complex(
+                ksub, sqrt_psd_sh, sh_df, sh_modes, B // 2, crop=crop)
+        phs = synthesis.double_screens(scr)
+        pc = synthesis.detector_coupling(phs, pm, dx, norm)
+        out = jnp.exp(chi).astype(pc.real.dtype) * pc
+        if not coherent:
+            return jnp.abs(out) ** 2
+        return jnp.stack([out.real, out.imag], axis=-1)
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(key_mc, i))(
+        jnp.arange(nchunks))
+    _, outs = jax.lax.scan(
+        lambda c, inp: (c, chunk(inp[0], inp[1])), 0,
+        (keys, chi_all.reshape(nchunks, B)))
+    return outs.reshape((nchunks * B,) + outs.shape[2:])
+
+
+@_functools.partial(
+    jax.jit, static_argnames=("nchunks", "B", "coherent", "temporal_chi"))
+def _run_all_temporal_screens(key_logamp, key_scr, C, *, nchunks, B,
+                              coherent, temporal_chi):
+    """Whole frozen-flow (large-screens) run as one shared program.
+
+    The per-chunk trajectory is affine in the chunk index
+    (``base0 + i * shift``), so the series is a single scanned dispatch;
+    per-config tables are traced arguments shared across instances.
+    """
+    chi_all = synthesis.draw_logamp(
+        key_logamp, nchunks * B, C["logamp_var"],
+        temporal_powerspec=C["temporal_ps"] if temporal_chi else None,
+        dtype=C["pm"].dtype)
+    screens = synthesis.synthesize_layer_screens(
+        key_scr, C["sqrt_psd_layers"], C["df"])
+    base0, shift_chunk = C["base0"], C["shift_chunk"]
+    pm, dx, norm = C["pm"], C["dx"], C["norm"]
+
+    def body(c, inp):
+        i, chi_i = inp
+        rows = base0[:, 0] + i * shift_chunk[:, 0, None, None]
+        cols = base0[:, 1] + i * shift_chunk[:, 1, None, None]
+        phs = synthesis.sample_frozen_flow(screens, rows, cols)
+        pc = synthesis.detector_coupling(phs, pm, dx, norm)
+        out = jnp.exp(chi_i).astype(pc.real.dtype) * pc
+        if not coherent:
+            return c, jnp.abs(out) ** 2
+        return c, jnp.stack([out.real, out.imag], axis=-1)
+
+    idx = jnp.arange(nchunks, dtype=pm.dtype)
+    _, outs = jax.lax.scan(body, 0,
+                           (idx, chi_all.reshape((nchunks, B))))
+    return outs.reshape((nchunks * B,) + outs.shape[2:])
+
+
+@_functools.partial(
+    jax.jit,
+    static_argnames=("nchunks", "B", "coherent", "crop", "boiling",
+                     "temporal_chi"))
+def _run_all_temporal_ar(key_logamp, key_scr, C, *, nchunks, B, coherent,
+                         crop, boiling, temporal_chi):
+    """Whole AR(1)-in-Fourier frozen-flow run as one shared program."""
+    lo, hi = crop
+    chi_all = synthesis.draw_logamp(
+        key_logamp, nchunks * B, C["logamp_var"],
+        temporal_powerspec=C["temporal_ps"] if temporal_chi else None,
+        dtype=C["pm"].dtype)
+    sqrt_psd_df = C["sqrt_psd_df"]
+    cdt = jnp.complex64 if sqrt_psd_df.dtype == jnp.float32 \
+        else jnp.complex128
+    step_phasor = jax.lax.complex(jnp.cos(C["step_phase"]),
+                                  jnp.sin(C["step_phase"])).astype(cdt)
+    alpha = C["alpha"][:, None, None]
+    sqrt1ma = jnp.sqrt(jnp.maximum(0.0, 1.0 - alpha ** 2)).astype(
+        sqrt_psd_df.dtype)
+    pm, dx, norm = C["pm"], C["dx"], C["norm"]
+
+    kinit, knoise = jax.random.split(key_scr)
+    a0 = synthesis.complex_normal(kinit, sqrt_psd_df.shape,
+                                  dtype=cdt) * sqrt_psd_df
+
+    def body(carry, chi_c):
+        a, k = carry
+        a, k, A = synthesis.ar_flow_series(
+            a, k, step_phasor, sqrt_psd_df, alpha, sqrt1ma, B, boiling)
+        phs = ift2(A, 1.0).real[:, lo:hi, lo:hi]
+        pc = synthesis.detector_coupling(phs, pm, dx, norm)
+        out = jnp.exp(chi_c).astype(pc.real.dtype) * pc
+        if not coherent:
+            return (a, k), jnp.abs(out) ** 2
+        return (a, k), jnp.stack([out.real, out.imag], axis=-1)
+
+    _, outs = jax.lax.scan(body, (a0, knoise),
+                           chi_all.reshape((nchunks, B)))
+    return outs.reshape((nchunks * B,) + outs.shape[2:])
 
 
 class FastResult:
