@@ -49,10 +49,17 @@ def run_scan_sharded(sims, mesh, seed=None):
     s0 = sims[0]
     if s0.temporal:
         raise NotImplementedError("scan sharding supports TEMPORAL=False")
+    if s0._synth in ("pallas", "pallas_fused"):
+        raise NotImplementedError(
+            "scan sharding supports SYNTH 'fft'|'matmul'|'colfac'; the "
+            "Pallas kernels take their tables as compile-time constants — "
+            "set SYNTH='matmul' (or 'colfac') for scans")
     for s in sims[1:]:
         if (s.Npxls, s.Npxls_pup, s.Niter, s.Nchunks) != (
                 s0.Npxls, s0.Npxls_pup, s0.Niter, s0.Nchunks):
             raise ValueError("sims must share grid geometry and NITER")
+        if (s._synth, s.subharmonics) != (s0._synth, s0.subharmonics):
+            raise ValueError("sims must share SYNTH and SUBHARM settings")
 
     n_scan, n_mc = mesh.devices.shape
     nsims = len(sims)
@@ -74,8 +81,24 @@ def run_scan_sharded(sims, mesh, seed=None):
     crop = s0.pup_crop
     coherent = bool(s0.params["COHERENT"])
     synth = s0._synth
+    subharm = bool(s0.subharmonics)
     precision = s0.params["PRECISION"]
-    W = s0._W_pruned if synth == "matmul" else None
+    # shared tables (same grid geometry) embed as constants; per-sim
+    # complex tables ship as stacked (real, imag) floats — complex arrays
+    # cannot cross program boundaries on all TPU runtimes
+    W = s0._W_pruned if synth in ("matmul", "colfac") else None
+    dt = np.dtype(str(s0.dtype))
+    if synth == "colfac":
+        Ls = np.stack([np.asarray(s._L_colfac) for s in sims])
+        l2 = np.stack([Ls.real, Ls.imag]).astype(dt)  # (2, nsims, N, Np, Np)
+    else:
+        l2 = np.zeros((2, len(sims), 0), dt)
+    if subharm:
+        sqrt_psd_shs = np.stack([s._sqrt_psd_sh for s in sims])
+        sh_modes = s0._sh_modes  # shared grid -> shared mode tables
+        sh_df = s0._sh_df
+    else:
+        sqrt_psd_shs = np.zeros((len(sims), 0), dt)
 
     sqrt_psds = np.stack([s._sqrt_psd for s in sims])  # (nsims, N, N)
     pms = np.stack([s._pm for s in sims])
@@ -92,13 +115,21 @@ def run_scan_sharded(sims, mesh, seed=None):
 
     local_sims = nsims // n_scan
 
-    def chunk_body(key, chi_c, sqrt_psd, pm, norm):
-        if synth == "matmul":
+    def chunk_body(key, chi_c, sqrt_psd, pm, norm, l2_s, sps_sh):
+        kmain, ksub = jax.random.split(key)
+        if synth == "colfac":
+            L = jax.lax.complex(l2_s[0], l2_s[1])
+            scr = synthesis.synthesize_screens_colfac(
+                kmain, L, W, b_local // 2, precision=precision)
+        elif synth == "matmul":
             scr = synthesis.synthesize_screens_pruned(
-                key, sqrt_psd, df, b_local // 2, W, precision=precision)
+                kmain, sqrt_psd, df, b_local // 2, W, precision=precision)
         else:
             scr = synthesis.synthesize_screens_complex(
-                key, sqrt_psd, df, b_local // 2, crop=crop)
+                kmain, sqrt_psd, df, b_local // 2, crop=crop)
+        if subharm:
+            scr = scr + synthesis.synthesize_subharm_complex(
+                ksub, sps_sh, sh_df, sh_modes, b_local // 2, crop=crop)
         phs = synthesis.double_screens(scr)
         pc = synthesis.detector_coupling(phs, pm, dx, norm)
         out = jnp.exp(chi_c).astype(pc.real.dtype) * pc
@@ -108,9 +139,10 @@ def run_scan_sharded(sims, mesh, seed=None):
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P("scan"), P("scan"), P("scan"), P("scan", "mc")),
+        in_specs=(P(), P("scan"), P("scan"), P("scan"), P("scan", "mc"),
+                  P(None, "scan"), P("scan")),
         out_specs=P("scan", "mc"))
-    def shard_fn(key_data, sqrt_psd, pm, norm, chi):
+    def shard_fn(key_data, sqrt_psd, pm, norm, chi, l2_l, sps_sh_l):
         key = jax.random.wrap_key_data(key_data)
         key = jax.random.fold_in(key, jax.lax.axis_index("scan"))
         key = jax.random.fold_in(key, jax.lax.axis_index("mc"))
@@ -122,14 +154,15 @@ def run_scan_sharded(sims, mesh, seed=None):
                 ki = jax.random.fold_in(ks, i)
                 rows.append(chunk_body(
                     ki, chi[s, i * b_local:(i + 1) * b_local],
-                    sqrt_psd[s], pm[s], norm[s]))
+                    sqrt_psd[s], pm[s], norm[s], l2_l[:, s], sps_sh_l[s]))
             outs.append(jnp.concatenate(rows))
         return jnp.stack(outs)
 
     with mesh:
         out = jax.jit(shard_fn)(jax.random.key_data(key_mc),
                                 jnp.asarray(sqrt_psds), jnp.asarray(pms),
-                                jnp.asarray(norms), chi)
+                                jnp.asarray(norms), chi, jnp.asarray(l2),
+                                jnp.asarray(sqrt_psd_shs))
 
     from ..engine import Fast
     out = Fast._combine_complex(out, coherent)

@@ -13,10 +13,12 @@ becomes a lightweight clone of the skeleton, ready for
 
 Restrictions: the sweep shares NPXLS/DX (pass them explicitly so the
 'auto' rules cannot diverge), and supports the iid Monte Carlo mode
-(TEMPORAL=False, SUBHARM=False) — the production regime for orbit scans.
+(TEMPORAL=False; SUBHARM supported) — the production regime for orbit
+scans.
 """
 
 import copy
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -25,13 +27,16 @@ import numpy as np
 from . import psd, synthesis
 from .engine import Fast, calculate_wind_correction, l_path
 
+logger = logging.getLogger(__name__)
+
 
 def build_sweep(base_params, samples):
     """Build lightweight per-sample simulations via one vmapped assembly.
 
     Args:
         base_params: config dict; must give explicit ``NPXLS`` and ``DX``
-            (shared grid) and use ``TEMPORAL=False``, ``SUBHARM=False``.
+            (shared grid) and use ``TEMPORAL=False``. ``SUBHARM=True`` is
+            supported (the subharmonic assembly is vmapped alongside).
         samples: dict of per-sample arrays (length ``nsamples`` each), any
             of: ``ZENITH_ANGLE``, ``L_SAT``, ``DTHETA`` (n, 2), ``ANISO_DL``
             (n, 2), ``AZIMUT_SAT`` — the quantities an orbit pass varies
@@ -42,13 +47,17 @@ def build_sweep(base_params, samples):
         own power spectra, log-amplitude variance and link budget — run
         them serially or with :func:`fast_tpu.parallel.run_scan_sharded`.
     """
-    if base_params.get("TEMPORAL") or base_params.get("SUBHARM"):
-        raise NotImplementedError(
-            "build_sweep supports TEMPORAL=False, SUBHARM=False")
+    if base_params.get("TEMPORAL"):
+        raise NotImplementedError("build_sweep supports TEMPORAL=False")
     if base_params.get("NPXLS") in (None, "auto") or \
             base_params.get("DX") in (None, "auto"):
         raise ValueError("pass explicit NPXLS and DX so the sweep shares "
                          "one grid")
+    if "SYNTH" not in base_params:
+        logger.info(
+            "sweep clones default to SYNTH='matmul' (factor-free; a "
+            "per-sample colfac factorisation would cost more than it "
+            "saves) — pass SYNTH explicitly to override")
 
     nsamples = len(next(iter(samples.values())))
     base = Fast(dict(base_params))
@@ -105,6 +114,19 @@ def build_sweep(base_params, samples):
         out = jax.tree.map(np.asarray, assemble(
             jnp.asarray(cn2_b), jnp.asarray(h_b), jnp.asarray(wind_vec_b),
             jnp.asarray(dtheta_b)))
+    if base.subharmonics:
+        grid_args_sh, (lf_mask_sh,), _, statics_sh = base._psd_args(
+            freq.subharm, base.lf_mask_subharm)
+        df_levels = np.asarray(freq.subharm.df, np.float64)
+        assemble_sh = jax.vmap(
+            lambda cn2, h, v, dth: psd.assemble_subharm(
+                *grid_args_sh, df_levels, lf_mask_sh, cn2, h, v, dth,
+                *shared, **statics_sh))
+        with (jax.default_device(base._cpu) if base._cpu else _Null()):
+            out_sh = jax.tree.map(np.asarray, assemble_sh(
+                jnp.asarray(cn2_b), jnp.asarray(h_b),
+                jnp.asarray(wind_vec_b), jnp.asarray(dtheta_b)))
+
     powerspec_b = out["powerspec"]
     logamp_ps_b = out["logamp_powerspec"]
     logamp_var_b = out["logamp_var"]
@@ -144,6 +166,14 @@ def build_sweep(base_params, samples):
         s.link_budget["free_space"] = 10 * np.log10(
             (s.wvl / (4 * np.pi * s.L)) ** 2)
         s.diffraction_limit = 10 ** (sum(s.link_budget.values()) / 10) / 1e3
+        if base.subharmonics:
+            s.powerspec_subharm_per_layer = \
+                out_sh["powerspec_subharm_per_layer"][i]
+            s.powerspec_subharm = out_sh["powerspec_subharm"][i]
+            s.phs_var_subharm = out_sh["phs_var_subharm"][i]
+            s.phs_var_weights_sh = out_sh["phs_var_weights_sh"][i]
+            s._sqrt_psd_sh = np.sqrt(s.powerspec_subharm).astype(s.dtype)
+            # _sh_modes / _sh_df are grid-only and shared with the base
         s._synth = s.params["SYNTH"]
         s._sqrt_psd = np.sqrt(powerspec_b[i]).astype(s.dtype)
         if s._synth in ("matmul", "pallas", "pallas_fused"):

@@ -110,3 +110,69 @@ def test_coherent_sharded(mesh8):
     sim = fast_tpu.Fast(p)
     res = parallel.run_sharded(sim, mesh=mesh8)
     assert np.iscomplexobj(res._r)
+
+
+def test_scan_sharded_colfac(mesh8):
+    """Column-factored synthesis under the (scan, mc) mesh (per-sim
+    factors ship as stacked floats)."""
+    scan_mesh = parallel.make_scan_mesh(2, 4)
+    sims = [
+        fast_tpu.Fast(make_test_params(
+            TEMPORAL=False, NITER=1600, NCHUNKS=2, SEED=9, ZENITH_ANGLE=z,
+            NPXLS=164, SYNTH="colfac", DTYPE="float32"))
+        for z in (35, 55)
+    ]
+    results = parallel.run_scan_sharded(sims, scan_mesh)
+    assert len(results) == 2
+    for r in results:
+        assert np.isfinite(np.asarray(r.power)).all()
+    # statistics agree with the unsharded colfac run of the same config
+    solo = fast_tpu.Fast(make_test_params(
+        TEMPORAL=False, NITER=1600, NCHUNKS=2, SEED=9, ZENITH_ANGLE=55,
+        NPXLS=164, SYNTH="colfac", DTYPE="float32"))
+    r_solo = np.asarray(solo.run().power) / solo.diffraction_limit
+    r_scan = np.asarray(results[-1].power) / sims[-1].diffraction_limit
+    se = np.sqrt(r_solo.var() / len(r_solo) + r_scan.var() / len(r_scan))
+    assert abs(r_solo.mean() - r_scan.mean()) < 4 * se
+
+
+def test_scan_sharded_subharm(mesh8):
+    """Subharmonic low-order modes under the (scan, mc) mesh."""
+    scan_mesh = parallel.make_scan_mesh(2, 4)
+    sims = [
+        fast_tpu.Fast(make_test_params(
+            TEMPORAL=False, NITER=800, NCHUNKS=1, SEED=10, ZENITH_ANGLE=z,
+            NPXLS=164, SUBHARM=True, SYNTH="fft"))
+        for z in (35, 55)
+    ]
+    results = parallel.run_scan_sharded(sims, scan_mesh)
+    for r in results:
+        assert np.isfinite(np.asarray(r.power)).all()
+    solo = fast_tpu.Fast(make_test_params(
+        TEMPORAL=False, NITER=800, NCHUNKS=1, SEED=10, ZENITH_ANGLE=35,
+        NPXLS=164, SUBHARM=True, SYNTH="fft"))
+    r_solo = np.asarray(solo.run().power) / solo.diffraction_limit
+    r_scan = np.asarray(results[0].power) / sims[0].diffraction_limit
+    se = np.sqrt(r_solo.var() / len(r_solo) + r_scan.var() / len(r_scan))
+    assert abs(r_solo.mean() - r_scan.mean()) < 4 * se
+
+
+def test_scan_sharded_rejects_pallas(mesh8):
+    scan_mesh = parallel.make_scan_mesh(2, 4)
+    sims = [fast_tpu.Fast(make_test_params(
+        TEMPORAL=False, NITER=800, NCHUNKS=1, NPXLS=164, SYNTH="pallas",
+        ZENITH_ANGLE=z)) for z in (35, 55)]
+    with pytest.raises(NotImplementedError, match="Pallas"):
+        parallel.run_scan_sharded(sims, scan_mesh)
+
+
+def test_scan_sharded_rejects_mixed_synth(mesh8):
+    scan_mesh = parallel.make_scan_mesh(2, 4)
+    sims = [
+        fast_tpu.Fast(make_test_params(TEMPORAL=False, NITER=800, NCHUNKS=1,
+                                       NPXLS=164, SYNTH="fft")),
+        fast_tpu.Fast(make_test_params(TEMPORAL=False, NITER=800, NCHUNKS=1,
+                                       NPXLS=164, SYNTH="matmul")),
+    ]
+    with pytest.raises(ValueError, match="share SYNTH"):
+        parallel.run_scan_sharded(sims, scan_mesh)

@@ -73,3 +73,22 @@ def test_sweep_rejects_auto_grid():
     base = make_test_params(TEMPORAL=False)  # NPXLS='auto'
     with pytest.raises(ValueError, match="explicit NPXLS"):
         sweep.build_sweep(base, {"ZENITH_ANGLE": np.array([30.0])})
+
+
+def test_sweep_subharm_matches_individual_inits():
+    base = make_test_params(TEMPORAL=False, NPXLS=164, NITER=100, NCHUNKS=2,
+                            SUBHARM=True)
+    zeniths = np.array([30.0, 60.0])
+    sims = sweep.build_sweep(base, {"ZENITH_ANGLE": zeniths})
+    for i, z in enumerate(zeniths):
+        solo = fast_tpu.Fast(make_test_params(
+            TEMPORAL=False, NPXLS=164, NITER=100, NCHUNKS=2, SUBHARM=True,
+            ZENITH_ANGLE=z))
+        np.testing.assert_allclose(sims[i].powerspec_subharm,
+                                   solo.powerspec_subharm, rtol=1e-10)
+        np.testing.assert_allclose(sims[i].phs_var_weights_sh,
+                                   solo.phs_var_weights_sh, rtol=1e-10)
+    assert not np.allclose(sims[0].powerspec_subharm,
+                           sims[1].powerspec_subharm)
+    r = sims[0].run()
+    assert np.isfinite(np.asarray(r.power)).all()
