@@ -84,7 +84,7 @@ def main():
         ref_rps = measure_reference()
         print(f"# measured reference CPU: {ref_rps:.1f} r/s", file=sys.stderr)
 
-    synth = os.environ.get("FAST_TPU_SYNTH", "colfac")
+    synth = os.environ.get("FAST_TPU_SYNTH", "auto")  # auto -> pallas_fused on TPU
 
     print("# 256^2 iid", file=sys.stderr)
     sim = fast_tpu.Fast(g._flagship_params(

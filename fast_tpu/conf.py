@@ -83,8 +83,13 @@ TPU_DEFAULTS = {
                             # factored covariance)|'matmul' (pruned DFT on
                             # the MXU)|'fft' (batched ifft2)|'pallas'|
                             # 'pallas_fused' (fully fused on-chip kernels)
-    "PRECISION": "highest", # TPU matmul precision for 'matmul' synthesis:
-                            # 'highest' (full f32) | 'high' (bf16x3) | 'default'
+    "PRECISION": "default", # TPU matmul precision for the synthesis paths:
+                            # 'default' (single-pass bf16 on the MXU —
+                            # phase error ~1e-2 rad RMS, distribution-
+                            # validated against the f32 paths, ~1.5-2x
+                            # faster) | 'high' (bf16x3) | 'highest' (full
+                            # f32). CPU dots are always native f32, so the
+                            # parity test suite is unaffected.
     "TEMPORAL_SYNTH": "auto",  # frozen-flow synthesis: 'screens' (one large
                             # screen per layer, grid grows with NITER as in
                             # the reference) | 'ar' (AR(1)-in-Fourier

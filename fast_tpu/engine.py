@@ -505,13 +505,17 @@ class Fast:
         self._norm = float((self.pupil * self.pupil_mode).sum() * self.dx ** 2)
         synth = self.params["SYNTH"]
         if synth == "auto":
-            # column-factored synthesis: distribution-identical to the FFT
-            # path, fastest on TPU (~1.5x matmul); f64 verification runs
-            # keep the direct FFT path. Its factor tensor is
-            # (N, Npup, Npup) complex64 — fall back to the factor-free
-            # matmul path when that would exceed ~256 MB.
+            # f64 verification runs keep the direct FFT path. On TPU the
+            # fully-fused Pallas kernel (on-chip PRNG -> color -> pruned
+            # DFT -> detector; screens never touch HBM) is the fastest
+            # path at both 256^2 and 512^2. Elsewhere (CPU tests) use the
+            # column-factored covariance synthesis — distribution-
+            # identical to the FFT path — unless its (N, Npup, Npup)
+            # factor tensor would exceed ~256 MB (then factor-free matmul).
             if dt != np.float32:
                 synth = "fft"
+            elif not self.temporal and jax.default_backend() == "tpu":
+                synth = "pallas_fused"
             elif (not self.temporal
                   and self.Npxls * self.Npxls_pup ** 2 * 8 > 2.56e8):
                 synth = "matmul"
@@ -599,7 +603,8 @@ class Fast:
             if synth == "pallas_fused" and not subharm:
                 from .ops.pallas_synth import fused_synthesis_detect
                 seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
-                c = fused_synthesis_detect(seed, sqrt_psd, df, B // 2, W, pm)
+                c = fused_synthesis_detect(seed, sqrt_psd, df, B // 2, W, pm,
+                                           precision=precision)
                 pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2 / norm)
                 out = jnp.exp(chi).astype(jnp.float32) * pc
                 if not coherent:
@@ -608,7 +613,8 @@ class Fast:
             if synth == "pallas" or (synth == "pallas_fused" and subharm):
                 from .ops.pallas_synth import fused_synthesis
                 seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
-                phs = fused_synthesis(seed, sqrt_psd, df, B // 2, W)
+                phs = fused_synthesis(seed, sqrt_psd, df, B // 2, W,
+                                      precision=precision)
                 if subharm:
                     phs = phs + synthesis.double_screens(
                         synthesis.synthesize_subharm_complex(

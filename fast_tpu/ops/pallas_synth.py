@@ -25,6 +25,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,  # multi-pass f32 on the MXU
+    # Mosaic only legalizes DEFAULT and HIGHEST dots; 'high' (bf16x3)
+    # rounds up to HIGHEST inside kernels
+    "high": jax.lax.Precision.HIGHEST,
+    "default": jax.lax.Precision.DEFAULT,  # single-pass bf16
+}
+
 
 def _round_up(x, m):
     return -(-x // m) * m
@@ -42,7 +50,8 @@ def _compiler_params(N, P):
         vmem_limit_bytes=max(32 * 1024 * 1024, int(need * 1.5)))
 
 
-def _synth_kernel(seed_ref, s_ref, wr_ref, wi_ref, or_ref, oi_ref):
+def _synth_kernel(seed_ref, s_ref, wr_ref, wi_ref, or_ref, oi_ref, *,
+                  precision):
     b = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], b)
 
@@ -70,13 +79,13 @@ def _synth_kernel(seed_ref, s_ref, wr_ref, wi_ref, or_ref, oi_ref):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=precision)
 
     def dot_t(a, b):  # a @ b.T
         return jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=precision)
 
     gr = dot(wr, xr) - dot(wi, xi)
     gi = dot(wr, xi) + dot(wi, xr)
@@ -84,15 +93,19 @@ def _synth_kernel(seed_ref, s_ref, wr_ref, wi_ref, or_ref, oi_ref):
     oi_ref[0] = dot_t(gr, wi) + dot_t(gi, wr)
 
 
-@functools.partial(jax.jit, static_argnames=("nbatch", "npup", "interpret"))
-def _fused_call(seed, s_scaled, wr, wi, nbatch, npup, interpret=False):
+@functools.partial(jax.jit, static_argnames=("nbatch", "npup", "interpret",
+                                             "precision"))
+def _fused_call(seed, s_scaled, wr, wi, nbatch, npup, interpret=False,
+                precision="highest"):
     # Mosaic cannot legalize the 64-bit literals jax_enable_x64 introduces;
     # trace the kernel in strict 32-bit mode (all operands are f32/i32).
     with jax.enable_x64(False):
-        return _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret)
+        return _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup,
+                              interpret, precision)
 
 
-def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret):
+def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret,
+                   precision):
     N = s_scaled.shape[-1]
     P = wr.shape[0]
 
@@ -115,7 +128,8 @@ def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret):
         ],
     )
     out_r, out_i = pl.pallas_call(
-        _synth_kernel,
+        functools.partial(_synth_kernel,
+                          precision=_PRECISIONS[precision]),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nbatch, P, P), jnp.float32),
@@ -132,7 +146,8 @@ def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret):
         [out_r[:, :npup, :npup], out_i[:, :npup, :npup]], axis=0)
 
 
-def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref, out_ref):
+def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
+                         out_ref, *, precision):
     """Synthesis + pupil-overlap detector, fully fused.
 
     Like :func:`_synth_kernel` but reduces each screen on-chip to one
@@ -166,13 +181,13 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref, out_ref):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=precision)
 
     def dot_t(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=precision)
 
     gr = dot(wr, xr) - dot(wi, xi)
     gi = dot(wr, xi) + dot(wi, xr)
@@ -188,8 +203,10 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref, out_ref):
     out_ref[0] = packed
 
 
-@functools.partial(jax.jit, static_argnames=("nbatch", "interpret"))
-def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False):
+@functools.partial(jax.jit, static_argnames=("nbatch", "interpret",
+                                             "precision"))
+def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
+                       precision="highest"):
     with jax.enable_x64(False):
         N = s_scaled.shape[-1]
         P = wr.shape[0]
@@ -212,7 +229,8 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False):
             ],
         )
         [out] = pl.pallas_call(
-            _synth_detect_kernel,
+            functools.partial(_synth_detect_kernel,
+                              precision=_PRECISIONS[precision]),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((nbatch, 1, _LANE), jnp.float32)],
@@ -227,7 +245,7 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False):
 
 
 def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
-                           interpret=False):
+                           interpret=False, precision="highest"):
     """Monte Carlo couplings straight from the PRNG, one fused kernel.
 
     Returns (2*nbatch, 2) float32: the unnormalised complex coupling
@@ -246,10 +264,11 @@ def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     return _fused_detect_call(seed, jnp.asarray(s_scaled), jnp.asarray(wr),
                               jnp.asarray(wi), jnp.asarray(pm), int(nbatch),
-                              interpret=interpret)
+                              interpret=interpret, precision=precision)
 
 
-def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False):
+def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False,
+                    precision="highest"):
     """Pupil-cropped phase screens, fully fused on-chip.
 
     Distribution-equivalent to ``double_screens(synthesize_screens_pruned
@@ -279,4 +298,4 @@ def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False):
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     return _fused_call(seed, jnp.asarray(s_scaled), jnp.asarray(wr),
                        jnp.asarray(wi), int(nbatch), int(npup),
-                       interpret=interpret)
+                       interpret=interpret, precision=precision)

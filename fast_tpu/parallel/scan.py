@@ -12,6 +12,7 @@ reduced. This is the layout for pod-scale scans (BASELINE.json config 5) —
 """
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,8 @@ from jax import shard_map
 from ..engine import FastResult
 from ..ops.rng import make_key
 from .. import synthesis
+
+logger = logging.getLogger(__name__)
 
 
 def make_scan_mesh(n_scan, n_mc, devices=None):
@@ -49,11 +52,21 @@ def run_scan_sharded(sims, mesh, seed=None):
     s0 = sims[0]
     if s0.temporal:
         raise NotImplementedError("scan sharding supports TEMPORAL=False")
+    synth_override = None
     if s0._synth in ("pallas", "pallas_fused"):
-        raise NotImplementedError(
-            "scan sharding supports SYNTH 'fft'|'matmul'|'colfac'; the "
-            "Pallas kernels take their tables as compile-time constants — "
-            "set SYNTH='matmul' (or 'colfac') for scans")
+        if all(s.params.get("SYNTH") == "auto" for s in sims):
+            # the single-chip auto choice is a Pallas kernel, which is not
+            # scan-shardable; scans use the factor-free matmul path
+            logger.info(
+                "auto-selected SYNTH='%s' is not scan-shardable; the scan "
+                "uses SYNTH='matmul' (pass SYNTH explicitly to override)",
+                s0._synth)
+            synth_override = "matmul"
+        else:
+            raise NotImplementedError(
+                "scan sharding supports SYNTH 'fft'|'matmul'|'colfac'; the "
+                "Pallas kernels take their tables as compile-time constants "
+                "— set SYNTH='matmul' (or 'colfac') for scans")
     for s in sims[1:]:
         if (s.Npxls, s.Npxls_pup, s.Niter, s.Nchunks) != (
                 s0.Npxls, s0.Npxls_pup, s0.Niter, s0.Nchunks):
@@ -80,7 +93,7 @@ def run_scan_sharded(sims, mesh, seed=None):
     dx = s0.dx
     crop = s0.pup_crop
     coherent = bool(s0.params["COHERENT"])
-    synth = s0._synth
+    synth = synth_override or s0._synth
     subharm = bool(s0.subharmonics)
     precision = s0.params["PRECISION"]
     # shared tables (same grid geometry) embed as constants; per-sim
