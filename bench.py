@@ -84,7 +84,10 @@ def main():
         ref_rps = measure_reference()
         print(f"# measured reference CPU: {ref_rps:.1f} r/s", file=sys.stderr)
 
-    synth = os.environ.get("FAST_TPU_SYNTH", "auto")  # auto -> pallas_fused on TPU
+    # pallas_colfac: fused kernel drawing noise in the colfac basis —
+    # Npup*N normals per screen instead of N^2; fastest at both sizes
+    # (the one-time f64 factor build is excluded, like all init)
+    synth = os.environ.get("FAST_TPU_SYNTH", "pallas_colfac")
 
     print("# 256^2 iid", file=sys.stderr)
     sim = fast_tpu.Fast(g._flagship_params(

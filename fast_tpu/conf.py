@@ -82,7 +82,9 @@ TPU_DEFAULTS = {
     "SYNTH": "auto",        # screen synthesis: 'auto'|'colfac' (column-
                             # factored covariance)|'matmul' (pruned DFT on
                             # the MXU)|'fft' (batched ifft2)|'pallas'|
-                            # 'pallas_fused' (fully fused on-chip kernels)
+                            # 'pallas_fused' (fully fused on-chip kernels)|
+                            # 'pallas_colfac' (fused kernel drawing noise
+                            # in the colfac basis: Npup*N normals/screen)
     "PRECISION": "default", # TPU matmul precision for the synthesis paths:
                             # 'default' (single-pass bf16 on the MXU —
                             # phase error ~1e-2 rad RMS, distribution-

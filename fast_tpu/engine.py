@@ -523,8 +523,9 @@ class Fast:
                 synth = "colfac"
 
         # memory guard: the per-chunk noise tensor is the peak allocation
-        # (reference used NCHUNKS the same way, ``fast/fast.py:87-93``)
-        if not self.temporal:
+        # (reference used NCHUNKS the same way, ``fast/fast.py:87-93``).
+        # The fused Pallas kernels never materialise it — skip the guard.
+        if not self.temporal and not synth.startswith("pallas"):
             itemsize = 8 if dt == np.float32 else 16  # complex
             ncols = self.Npxls_pup if synth == "colfac" else self.Npxls
             chunk_bytes = (self.Niter_per_chunk // 2) * self.Npxls * ncols \
@@ -534,14 +535,14 @@ class Fast:
                     "per-chunk noise tensor is %.1f GB; increase NCHUNKS "
                     "to bound device memory", chunk_bytes / 1e9)
         self._synth = synth
-        if synth in ("matmul", "pallas", "pallas_fused", "colfac") \
-                and not self.temporal:
+        if synth in ("matmul", "pallas", "pallas_fused", "pallas_colfac",
+                     "colfac") and not self.temporal:
             # (temporal mode samples per-layer screens; the pruned/factored
             # paths are only used for iid draws)
             cdt = np.complex64 if dt == np.float32 else np.complex128
             self._W_pruned = synthesis.pruned_ift2_matrix(
                 self.Npxls, *self.pup_crop, dtype=cdt)
-            if synth == "colfac":
+            if synth in ("colfac", "pallas_colfac"):
                 self._L_colfac = synthesis.column_factors(
                     np.sqrt(self.powerspec), float(self.freq.main.df),
                     synthesis.pruned_ift2_matrix(
@@ -600,6 +601,20 @@ class Fast:
 
         def chunk(key, chi):
             kmain, ksub = jax.random.split(key)
+            if synth == "pallas_colfac":
+                if subharm:
+                    raise NotImplementedError(
+                        "SYNTH='pallas_colfac' does not support SUBHARM; "
+                        "use 'pallas_fused' or 'colfac'")
+                from .ops.pallas_synth import fused_colfac_detect
+                seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
+                c = fused_colfac_detect(seed, L, W, pm, B // 2,
+                                        precision=precision)
+                pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2 / norm)
+                out = jnp.exp(chi).astype(jnp.float32) * pc
+                if not coherent:
+                    return jnp.abs(out) ** 2
+                return jnp.stack([out.real, out.imag], axis=-1)
             if synth == "pallas_fused" and not subharm:
                 from .ops.pallas_synth import fused_synthesis_detect
                 seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
@@ -657,7 +672,7 @@ class Fast:
         program boundaries on all TPU runtimes.
         """
         synth = self._synth
-        if synth in ("pallas", "pallas_fused"):
+        if synth in ("pallas", "pallas_fused", "pallas_colfac"):
             # the Pallas kernels take their tables as trace-time constants
             chunk = self._chunk_body()
             nchunks = self.Nchunks

@@ -299,3 +299,174 @@ def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False,
     return _fused_call(seed, jnp.asarray(s_scaled), jnp.asarray(wr),
                        jnp.asarray(wi), int(nbatch), int(npup),
                        interpret=interpret, precision=precision)
+
+
+def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
+                          out_ref, accr_ref, acci_ref, gr_ref, gi_ref, *,
+                          m_tile, n_mb, precision):
+    """Colfac-basis synthesis + detector, fused with a VMEM accumulator.
+
+    Grid (batch_block, col_block); col_block is the inner (sequential)
+    dimension. Per program: draw (b_tile, P) complex normals per column in
+    the tile, apply that column's Cholesky factor ``G_m = z_m @ L_m^T``
+    (MXU), and accumulate the screens ``acc += G_tile @ W_tile^T``. At the
+    last column block the accumulated (b_tile, P, P) screens reduce
+    on-chip to the pupil-overlap couplings. Normals per screen: P*N
+    instead of the full-grid kernel's N^2 — the colfac saving
+    (column_factors docstring) without ever materialising G in HBM.
+    """
+    bb = pl.program_id(0)
+    mb = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], bb * n_mb + mb)
+
+    b_tile = accr_ref.shape[0]
+    P = accr_ref.shape[1]
+
+    @pl.when(mb == 0)
+    def _init():
+        accr_ref[...] = jnp.zeros_like(accr_ref)
+        acci_ref[...] = jnp.zeros_like(acci_ref)
+
+    def draw(shape):
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+        i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+        u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+        u2 = i2.astype(jnp.float32) * (2.0 ** -24)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = (2.0 * np.pi) * u2
+        return r * jnp.cos(theta), r * jnp.sin(theta)
+
+    def dot_t(a, b):  # a @ b.T
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def col(m, _):
+        # G_m = z_m @ L_m^T, stored at row m of the (m_tile, b_tile, P)
+        # scratch — leading-dim dynamic stores are cheap on TPU
+        lr = lr_ref[m]
+        li = li_ref[m]
+        zr, zi = draw((b_tile, P))
+        gr_ref[m] = dot_t(zr, lr) - dot_t(zi, li)   # (b_tile, P)
+        gi_ref[m] = dot_t(zr, li) + dot_t(zi, lr)
+        return 0
+
+    jax.lax.fori_loop(0, m_tile, col, 0)
+
+    def dot_m(g, w):  # contract the leading m axis: (m, bP) x (m, P) -> (bP, P)
+        return jax.lax.dot_general(
+            g, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    wr = wr_ref[:]  # (m_tile, P) — W columns of this tile, transposed
+    wi = wi_ref[:]
+    gr2 = gr_ref[...].reshape(m_tile, b_tile * P)
+    gi2 = gi_ref[...].reshape(m_tile, b_tile * P)
+    pr = dot_m(gr2, wr) - dot_m(gi2, wi)   # (b_tile*P, P)
+    pi = dot_m(gr2, wi) + dot_m(gi2, wr)
+    accr_ref[...] += pr.reshape(b_tile, P, P)
+    acci_ref[...] += pi.reshape(b_tile, P, P)
+
+    @pl.when(mb == n_mb - 1)
+    def _detect():
+        pm = pm_ref[:]
+        phi1 = accr_ref[...]
+        phi2 = acci_ref[...]
+
+        def reduce2(x):  # (b_tile, P, P) -> (b_tile, 1), all ops >= 2-D
+            return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
+
+        c1r = reduce2(pm[None] * jnp.cos(phi1))
+        c1i = reduce2(pm[None] * jnp.sin(phi1))
+        c2r = reduce2(pm[None] * jnp.cos(phi2))
+        c2i = reduce2(pm[None] * jnp.sin(phi2))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b_tile, _LANE), 1)
+        packed = (jnp.where(lane == 0, c1r, 0.0)
+                  + jnp.where(lane == 1, c1i, 0.0)
+                  + jnp.where(lane == 2, c2r, 0.0)
+                  + jnp.where(lane == 3, c2i, 0.0))
+        out_ref[...] = packed
+
+
+@functools.partial(jax.jit, static_argnames=("nbatch", "b_tile", "m_tile",
+                                             "interpret", "precision"))
+def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
+                        interpret=False, precision="default"):
+    with jax.enable_x64(False):
+        N = l2.shape[1]
+        P = l2.shape[2]
+        n_bb = nbatch // b_tile
+        n_mb = N // m_tile
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_bb, n_mb),
+            in_specs=[
+                pl.BlockSpec((2, m_tile, P, P),
+                             lambda bb, mb, *_: (0, mb, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, m_tile, P), lambda bb, mb, *_: (0, mb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, P), lambda bb, mb, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, b_tile, _LANE), lambda bb, mb, *_: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b_tile, P, P), jnp.float32),
+                pltpu.VMEM((b_tile, P, P), jnp.float32),
+                pltpu.VMEM((m_tile, b_tile, P), jnp.float32),
+                pltpu.VMEM((m_tile, b_tile, P), jnp.float32),
+            ],
+        )
+        kern = functools.partial(
+            _colfac_detect_kernel, m_tile=m_tile, n_mb=n_mb,
+            precision=_PRECISIONS[precision])
+
+        def _squeeze(seed_ref, l_ref, w_ref, pm_ref, out_ref, a, b, g1, g2):
+            kern(seed_ref, l_ref.at[0], l_ref.at[1], w_ref.at[0],
+                 w_ref.at[1], pm_ref, out_ref.at[0], a, b, g1, g2)
+
+        [out] = pl.pallas_call(
+            _squeeze,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_bb, b_tile, _LANE), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(seed, l2, w2, pm)
+        out = out.reshape(nbatch, _LANE)[:, :4]
+        return jnp.stack(
+            [jnp.concatenate([out[:, 0], out[:, 2]]),
+             jnp.concatenate([out[:, 1], out[:, 3]])], axis=-1)
+
+
+def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
+                        m_tile=64, interpret=False, precision="default"):
+    """Monte Carlo couplings from colfac-basis noise, one fused kernel.
+
+    Same distribution as ``synthesize_screens_colfac`` + detector — P*N
+    normals per screen instead of N^2 — with the factors streamed
+    block-by-block through VMEM and screens accumulated on-chip (never in
+    HBM). Returns (2*nbatch, 2) float32 unnormalised couplings.
+    """
+    ncols, npup, _ = L.shape
+    P = _round_up(npup, _LANE)
+    l2 = np.zeros((2, ncols, P, P), np.float32)
+    l2[0, :, :npup, :npup] = np.real(L)
+    l2[1, :, :npup, :npup] = np.imag(L)
+    w2 = np.zeros((2, ncols, P), np.float32)  # W^T: lane dim is P-tiled
+    w2[0, :, :npup] = np.real(W).T
+    w2[1, :, :npup] = np.imag(W).T
+    pm = np.zeros((P, P), np.float32)
+    pm[:npup, :npup] = np.asarray(pupil_mode, np.float32)
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    return _colfac_detect_call(seed, jnp.asarray(l2), jnp.asarray(w2),
+                               jnp.asarray(pm), int(nbatch), int(b_tile),
+                               int(m_tile), interpret=interpret,
+                               precision=precision)

@@ -53,7 +53,7 @@ def run_scan_sharded(sims, mesh, seed=None):
     if s0.temporal:
         raise NotImplementedError("scan sharding supports TEMPORAL=False")
     synth_override = None
-    if s0._synth in ("pallas", "pallas_fused"):
+    if s0._synth in ("pallas", "pallas_fused", "pallas_colfac"):
         if all(s.params.get("SYNTH") == "auto" for s in sims):
             # the single-chip auto choice is a Pallas kernel, which is not
             # scan-shardable; scans use the factor-free matmul path

@@ -62,3 +62,62 @@ def test_statistics_on_tpu():
     phs2 = np.asarray(pallas_synth.fused_synthesis(123, sqrt_ps, df, 8000, W))
     np.testing.assert_array_equal(phs, phs2)
     assert abs(np.corrcoef(phs[0].ravel(), phs[1].ravel())[0, 1]) < 0.1
+
+
+def test_interpret_colfac_detect_deterministic():
+    """The interpreter PRNG yields zero bits, so every Box-Muller draw is
+    the constant ``r0 = sqrt(-2 ln 2^-25)`` (real part) — making the whole
+    kernel deterministic. Validates the factor-apply / W-contraction /
+    accumulator / detector plumbing against a numpy evaluation on CPU."""
+    N, npup = 128, 24
+    rng = np.random.default_rng(1)
+    L = (rng.normal(size=(N, npup, npup))
+         + 1j * rng.normal(size=(N, npup, npup))).astype(np.complex64) * 0.01
+    W = synthesis.pruned_ift2_matrix(N, 20, 44, dtype=np.complex64)
+    pm = rng.random((npup, npup)).astype(np.float32)
+    c = pallas_synth.fused_colfac_detect(3, L, W, pm, 128, interpret=True)
+    assert c.shape == (256, 2)
+
+    r0 = np.float32(np.sqrt(-2 * np.log(np.float32(2.0 ** -25))))
+    # z = r0 (real), so G[p, m] = r0 * sum_q L[m, p, q]; scr = G @ W^T
+    G = r0 * L.sum(axis=2).T                      # (npup, N)
+    scr = G @ np.asarray(W).T                     # (npup, npup) complex
+    c1 = (pm * np.cos(scr.real)).sum()            # real-part screen
+    c1i = (pm * np.sin(scr.real)).sum()
+    c2 = (pm * np.cos(scr.imag)).sum()
+    c2i = (pm * np.sin(scr.imag)).sum()
+    np.testing.assert_allclose(c[:128, 0], c1, rtol=2e-4)
+    np.testing.assert_allclose(c[:128, 1], c1i, rtol=2e-4, atol=1e-3)
+    np.testing.assert_allclose(c[128:, 0], c2, rtol=2e-4)
+    np.testing.assert_allclose(c[128:, 1], c2i, rtol=2e-4, atol=1e-3)
+
+
+@pytest.mark.skipif(not on_tpu, reason="needs TPU hardware PRNG")
+def test_colfac_kernel_statistics_on_tpu():
+    """Colfac-basis kernel couplings match the colfac Gaussian process.
+
+    The reference draw is pure numpy (complex arrays cannot cross program
+    boundaries on the axon runtime, so the stock device path is not usable
+    here); the kernel side uses the hardware PRNG.
+    """
+    from scipy.stats import ks_2samp
+
+    N, lo, hi = 128, 40, 88
+    rng = np.random.default_rng(2)
+    sqrt_ps = (rng.random((N, N)) + 0.2).astype(np.float32) * 0.05
+    Wd = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex128)
+    L = synthesis.column_factors(sqrt_ps.astype(np.float64), 1.0, Wd)
+    W = Wd.astype(np.complex64)
+    npup = hi - lo
+    pm = np.ones((npup, npup), np.float32)
+    c = np.asarray(pallas_synth.fused_colfac_detect(
+        7, L.astype(np.complex64), W, pm, 2048))
+    pc = np.abs(c[:, 0] + 1j * c[:, 1])
+
+    z = (rng.standard_normal((2048, N, npup))
+         + 1j * rng.standard_normal((2048, N, npup)))
+    G = np.einsum("mpq,bmq->bpm", L, z)
+    scr = G @ np.asarray(Wd).T                      # (b, npup, npup)
+    phs = np.concatenate([scr.real, scr.imag])
+    pc_ref = np.abs(np.exp(1j * phs).sum(axis=(-2, -1)))
+    assert ks_2samp(pc, pc_ref).pvalue > 1e-3
