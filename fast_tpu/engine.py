@@ -543,11 +543,25 @@ class Fast:
             self._W_pruned = synthesis.pruned_ift2_matrix(
                 self.Npxls, *self.pup_crop, dtype=cdt)
             if synth in ("colfac", "pallas_colfac"):
-                self._L_colfac = synthesis.column_factors(
-                    np.sqrt(self.powerspec), float(self.freq.main.df),
-                    synthesis.pruned_ift2_matrix(
-                        self.Npxls, *self.pup_crop,
-                        dtype=np.complex128)).astype(cdt)
+                self._L_colfac = None
+                if dt == np.float32 and jax.default_backend() == "tpu":
+                    # f32 factor build on the MXU (~30x the host f64 path);
+                    # ill-conditioned columns fall back below
+                    L = synthesis.column_factors_device(
+                        np.sqrt(self.powerspec), float(self.freq.main.df),
+                        self._W_pruned)
+                    if np.isfinite(L).all():
+                        self._L_colfac = L
+                    else:
+                        logger.info("f32 device factorisation hit an "
+                                    "ill-conditioned column; using the "
+                                    "host float64 path")
+                if self._L_colfac is None:
+                    self._L_colfac = synthesis.column_factors(
+                        np.sqrt(self.powerspec), float(self.freq.main.df),
+                        synthesis.pruned_ift2_matrix(
+                            self.Npxls, *self.pup_crop,
+                            dtype=np.complex128)).astype(cdt)
         if self.subharmonics:
             self._sqrt_psd_sh = np.sqrt(self.powerspec_subharm).astype(dt)
             self._sh_modes = synthesis.make_subharm_modes(

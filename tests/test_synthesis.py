@@ -66,3 +66,19 @@ def test_colfac_handles_masked_columns():
         jax.random.key(0), L.astype(np.complex64),
         W.astype(np.complex64), 100))
     assert np.isfinite(scr).all()
+
+
+def test_column_factors_device_matches_host():
+    """f32 accelerator factorisation reproduces the f64 column covariances."""
+    N, lo, hi = 128, 40, 88
+    rng = np.random.default_rng(3)
+    sqrt_ps = (rng.random((N, N)) + 0.1).astype(np.float64)
+    Wd = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex128)
+    L64 = synthesis.column_factors(sqrt_ps, 0.7, Wd)
+    L32 = synthesis.column_factors_device(sqrt_ps, 0.7, Wd.astype(np.complex64))
+    assert np.isfinite(L32).all()
+    C64 = np.einsum("mpq,mrq->mpr", L64, L64.conj())
+    C32 = np.einsum("mpq,mrq->mpr", L32.astype(np.complex128),
+                    L32.conj().astype(np.complex128))
+    rel = np.abs(C32 - C64).max() / np.abs(C64).max()
+    assert rel < 1e-4
