@@ -20,3 +20,6 @@ from .models.ao import (  # noqa: F401
     G_AO_PAOLA_closedloop,
 )
 from .models.scintillation import logamp_powerspec  # noqa: F401
+# the reference leaks this aotools import into its namespace
+# (``fast/ao_power_spectra.py:6``)
+from .models.atmosphere import cn2_to_r0  # noqa: F401

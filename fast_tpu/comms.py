@@ -37,6 +37,9 @@ import numpy as np
 from scipy.special import erfc
 
 from .engine import Fast
+# namespace parity: the reference re-exports aotools' gaussian2d here
+# (``fast/comms.py:8``)
+from .ops.apertures import gaussian2d  # noqa: F401
 
 logger = logging.getLogger(__name__)
 

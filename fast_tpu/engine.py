@@ -32,7 +32,7 @@ import numpy as np
 
 from . import conf
 from . import psd
-from .grids import SpatialFrequencies
+from .grids import SpatialFrequencies, SpatialFrequencyStruct
 from .models import ao as ao_spectra
 from .models import atmosphere
 from .models.scintillation import (PupilFilterSampler, logamp_powerspec,
@@ -47,6 +47,15 @@ from .utils.log import init_logging
 from .utils.profiling import StageTimer
 
 logger = logging.getLogger(__name__)
+
+# reference-namespace parity: ``fast.fast`` re-exports these from aotools
+# (``fast/fast.py:5``); keep them importable from the same place
+from .models.atmosphere import (cn2_to_r0, isoplanatic_angle,  # noqa: E402
+                                coherence_time, rytov_variance)
+from .ops.apertures import circle  # noqa: E402
+
+isoplanaticAngle = isoplanatic_angle  # aotools camelCase names
+coherenceTime = coherence_time
 
 
 def _cpu_device():
@@ -903,6 +912,70 @@ class Fast:
         return self.phs
 
     compute_phs = sample_screens  # reference-name alias
+
+    # ------------------------------------------------------------------
+    # reference-API compatibility methods (``fast/fast.py`` names). The
+    # engine's run() path does not use them — they exist so code written
+    # against the reference keeps working.
+    # ------------------------------------------------------------------
+
+    def init_fftw(self):
+        """Reference-API no-op: XLA owns the FFT (``fast/fast.py:419-438``).
+
+        The FFTW/FFTW_THREADS config keys are accepted and ignored."""
+        logger.info("FFTW plans are not used; XLA compiles the FFTs")
+
+    def init_phs_logamp(self):
+        """Reference-API no-op: buffers are managed by XLA
+        (``fast/fast.py:440-443``)."""
+        logger.info("phase/log-amplitude buffers are managed by XLA")
+
+    def compute_logamp(self):
+        """Draw (or return) the full log-amplitude series
+        (``fast/fast.py:639-645``)."""
+        if getattr(self, "_logamp_key", None) is None:
+            key = make_key(self.seed, impl=self.params["RNG"])
+            self._logamp_key, _, _ = jax.random.split(key, 3)
+            self._logamp_cache = None
+        return self.logamp
+
+    def compute_phs_temporal(self, chunk=0, key=None):
+        """Sample one chunk of the frozen-flow phase series
+        (``fast/fast.py:607-637``). Stores and returns ``self.phs``
+        with shape (Niter_per_chunk, Npup, Npup)."""
+        if not self.temporal:
+            raise ValueError("compute_phs_temporal requires TEMPORAL=True")
+        if key is None:
+            key = make_key(self.seed, impl=self.params["RNG"])
+            _, key, _ = jax.random.split(key, 3)
+        screens = synthesis.synthesize_layer_screens(
+            key, jnp.asarray(self._sqrt_psd_layers),
+            float(self.freq.main.df))
+        dt = np.dtype(str(self.dtype))
+        base0 = (self.pup_coords[None, :, None, :].astype(float)
+                 + self.pixel_shifts[:, :, :, None]).astype(dt)
+        shift = self.pixel_shifts[:, :, -1].astype(dt)
+        rows = base0[:, 0] + chunk * shift[:, 0, None, None]
+        cols = base0[:, 1] + chunk * shift[:, 1, None, None]
+        self.phs = np.asarray(synthesis.sample_frozen_flow(
+            screens, jnp.asarray(rows), jnp.asarray(cols)))
+        return self.phs
+
+    def compute_detector(self, chunk=0):
+        """Pupil-overlap couplings for the phases in ``self.phs``
+        (``fast/fast.py:647-668``). Requires ``compute_phs`` /
+        ``compute_phs_temporal`` first."""
+        if getattr(self, "phs", None) is None:
+            raise ValueError("call compute_phs/compute_phs_temporal first")
+        pc = synthesis.detector_coupling(
+            jnp.asarray(self.phs, self.dtype), jnp.asarray(self._pm),
+            self.dx, self._norm)
+        B = self.phs.shape[0]
+        chi = self.compute_logamp()[chunk * B:(chunk + 1) * B]
+        out = np.exp(chi[:pc.shape[0]]) * np.asarray(pc)
+        if not bool(self.params["COHERENT"]):
+            return np.abs(out) ** 2
+        return out
 
     def validate(self):
         """Sanity-check the precomputed spectra; raises on corruption.
