@@ -5,7 +5,13 @@ Python file defining a dict ``p``. Load with
 ``fast_tpu.Fast("examples/example_config.py")``.
 """
 
+import os
+import sys
+
 import numpy
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))  # usable without installing
 
 from fast_tpu import turbulence_models
 

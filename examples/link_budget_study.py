@@ -10,6 +10,12 @@ the accelerated synthesis paths automatically.
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))  # run without installing
+
 import fast_tpu
 
 

@@ -11,6 +11,12 @@ as a sharded parameter scan when more than one device is available.
 import jax
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))  # run without installing
+
 import fast_tpu
 from fast_tpu import orbit, parallel
 

@@ -9,6 +9,12 @@ mean fade duration below a threshold.
 
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))  # run without installing
+
 import fast_tpu
 from fast_tpu import comms, funcs
 

@@ -22,3 +22,19 @@ def test_orbit_sweep_example(capsys):
                    run_name="__main__")
     out = capsys.readouterr().out
     assert "elev" in out
+
+
+def test_long_temporal_ar_example(capsys):
+    runpy.run_path(os.path.join(EXAMPLES, "long_temporal_ar.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "steps/s" in out
+    assert "fade probability" in out
+
+
+def test_modem_gmi_example(capsys):
+    runpy.run_path(os.path.join(EXAMPLES, "modem_gmi_study.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "GMI" in out
+    assert "16-QAM" in out
