@@ -38,6 +38,14 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _auto_tile(n, cap):
+    """Largest divisor of ``n`` that is <= cap (graceful tiling for any n)."""
+    t = min(int(cap), int(n))
+    while n % t:
+        t -= 1
+    return t
+
+
 def _compiler_params(N, P):
     """Raise the VMEM scope for large grids.
 
@@ -147,7 +155,7 @@ def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret,
 
 
 def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
-                         out_ref, *, precision):
+                         *rest, precision, subharm):
     """Synthesis + pupil-overlap detector, fully fused.
 
     Like :func:`_synth_kernel` but reduces each screen on-chip to one
@@ -156,7 +164,15 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
     scalars are packed into lanes 0..3 of a (1, 128) output row (scalar
     blocks do not satisfy the TPU tiling rules). Padded rows/cols
     contribute nothing (``pm`` is zero there).
+
+    With ``subharm`` an extra (1, 2, P, P) block carries this screen
+    pair's precomputed low-order subharmonic phase (real, imag), added
+    before the detector's ``exp``.
     """
+    if subharm:
+        sh_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
     b = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], b)
 
@@ -193,6 +209,9 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
     gi = dot(wr, xi) + dot(wi, xr)
     phi1 = dot_t(gr, wr) - dot_t(gi, wi)
     phi2 = dot_t(gr, wi) + dot_t(gi, wr)
+    if subharm:
+        phi1 = phi1 + sh_ref[0, 0]
+        phi2 = phi2 + sh_ref[0, 1]
 
     pm = pm_ref[:]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
@@ -206,23 +225,30 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
 @functools.partial(jax.jit, static_argnames=("nbatch", "interpret",
                                              "precision"))
 def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
-                       precision="highest"):
+                       precision="highest", sh=None):
     with jax.enable_x64(False):
         N = s_scaled.shape[-1]
         P = wr.shape[0]
+        in_specs = [
+            pl.BlockSpec((N, N), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, P), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [seed, s_scaled, wr, wi, pm]
+        if sh is not None:
+            in_specs.append(
+                pl.BlockSpec((1, 2, P, P), lambda b, *_: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM))
+            operands.append(sh)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nbatch,),
-            in_specs=[
-                pl.BlockSpec((N, N), lambda b, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, N), lambda b, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, N), lambda b, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, P), lambda b, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, _LANE), lambda b, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -230,13 +256,14 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
         )
         [out] = pl.pallas_call(
             functools.partial(_synth_detect_kernel,
-                              precision=_PRECISIONS[precision]),
+                              precision=_PRECISIONS[precision],
+                              subharm=sh is not None),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((nbatch, 1, _LANE), jnp.float32)],
             compiler_params=_compiler_params(N, P),
             interpret=pltpu.InterpretParams() if interpret else False,
-        )(seed, s_scaled, wr, wi, pm)
+        )(*operands)
         out = out[:, 0, :4]  # (nbatch, 4) = [c1r, c1i, c2r, c2i]
         # (2*nbatch, 2): screens from real parts first, then imag parts
         return jnp.stack(
@@ -244,13 +271,29 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
              jnp.concatenate([out[:, 1], out[:, 3]])], axis=-1)
 
 
+def pad_subharm_screens(sh_complex, npup):
+    """Pack complex subharmonic screens for the fused detector kernels.
+
+    (nbatch, npup, npup) complex -> (nbatch, 2, P, P) float32 with the
+    real/imag parts in channels 0/1, zero-padded to the 128-lane tile
+    (padded pixels fall where ``pm`` is zero).
+    """
+    P = _round_up(npup, _LANE)
+    sh = jnp.stack([jnp.real(sh_complex), jnp.imag(sh_complex)],
+                   axis=1).astype(jnp.float32)
+    return jnp.pad(sh, ((0, 0), (0, 0), (0, P - npup), (0, P - npup)))
+
+
 def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
-                           interpret=False, precision="highest"):
+                           interpret=False, precision="highest",
+                           subharm_screens=None):
     """Monte Carlo couplings straight from the PRNG, one fused kernel.
 
     Returns (2*nbatch, 2) float32: the unnormalised complex coupling
     ``sum(pm * exp(i*phi))`` per screen as (real, imag). Multiply by
-    ``dx^2 / norm`` downstream.
+    ``dx^2 / norm`` downstream. ``subharm_screens`` (from
+    :func:`pad_subharm_screens`, (nbatch, 2, P, P)) adds per-screen
+    low-order subharmonic phase before the on-chip detector.
     """
     npup, N = W.shape
     P = _round_up(npup, _LANE)
@@ -264,7 +307,8 @@ def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     return _fused_detect_call(seed, jnp.asarray(s_scaled), jnp.asarray(wr),
                               jnp.asarray(wi), jnp.asarray(pm), int(nbatch),
-                              interpret=interpret, precision=precision)
+                              interpret=interpret, precision=precision,
+                              sh=subharm_screens)
 
 
 def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False,
@@ -302,8 +346,8 @@ def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False,
 
 
 def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
-                          out_ref, accr_ref, acci_ref, gr_ref, gi_ref, *,
-                          m_tile, n_mb, precision):
+                          sh_ref, out_ref, accr_ref, acci_ref, gr_ref,
+                          gi_ref, *, m_tile, n_mb, precision):
     """Colfac-basis synthesis + detector, fused with a VMEM accumulator.
 
     Grid (batch_block, col_block); col_block is the inner (sequential)
@@ -374,6 +418,9 @@ def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
         pm = pm_ref[:]
         phi1 = accr_ref[...]
         phi2 = acci_ref[...]
+        if sh_ref is not None:
+            phi1 = phi1 + sh_ref[:, 0]
+            phi2 = phi2 + sh_ref[:, 1]
 
         def reduce2(x):  # (b_tile, P, P) -> (b_tile, 1), all ops >= 2-D
             return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
@@ -393,24 +440,33 @@ def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
 @functools.partial(jax.jit, static_argnames=("nbatch", "b_tile", "m_tile",
                                              "interpret", "precision"))
 def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
-                        interpret=False, precision="default"):
+                        interpret=False, precision="default", sh=None):
     with jax.enable_x64(False):
         N = l2.shape[1]
         P = l2.shape[2]
         n_bb = nbatch // b_tile
         n_mb = N // m_tile
+        in_specs = [
+            pl.BlockSpec((2, m_tile, P, P),
+                         lambda bb, mb, *_: (0, mb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, m_tile, P), lambda bb, mb, *_: (0, mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, P), lambda bb, mb, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [seed, l2, w2, pm]
+        if sh is not None:
+            # same block across all column steps (fetched once per bb)
+            in_specs.append(
+                pl.BlockSpec((b_tile, 2, P, P),
+                             lambda bb, mb, *_: (bb, 0, 0, 0),
+                             memory_space=pltpu.VMEM))
+            operands.append(sh)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_bb, n_mb),
-            in_specs=[
-                pl.BlockSpec((2, m_tile, P, P),
-                             lambda bb, mb, *_: (0, mb, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, m_tile, P), lambda bb, mb, *_: (0, mb, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((P, P), lambda bb, mb, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, b_tile, _LANE), lambda bb, mb, *_: (bb, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -426,9 +482,17 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
             _colfac_detect_kernel, m_tile=m_tile, n_mb=n_mb,
             precision=_PRECISIONS[precision])
 
-        def _squeeze(seed_ref, l_ref, w_ref, pm_ref, out_ref, a, b, g1, g2):
-            kern(seed_ref, l_ref.at[0], l_ref.at[1], w_ref.at[0],
-                 w_ref.at[1], pm_ref, out_ref.at[0], a, b, g1, g2)
+        if sh is not None:
+            def _squeeze(seed_ref, l_ref, w_ref, pm_ref, sh_ref, out_ref,
+                         a, b, g1, g2):
+                kern(seed_ref, l_ref.at[0], l_ref.at[1], w_ref.at[0],
+                     w_ref.at[1], pm_ref, sh_ref, out_ref.at[0], a, b, g1,
+                     g2)
+        else:
+            def _squeeze(seed_ref, l_ref, w_ref, pm_ref, out_ref, a, b, g1,
+                         g2):
+                kern(seed_ref, l_ref.at[0], l_ref.at[1], w_ref.at[0],
+                     w_ref.at[1], pm_ref, None, out_ref.at[0], a, b, g1, g2)
 
         [out] = pl.pallas_call(
             _squeeze,
@@ -439,7 +503,7 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
                 vmem_limit_bytes=110 * 1024 * 1024,
                 dimension_semantics=("parallel", "arbitrary")),
             interpret=pltpu.InterpretParams() if interpret else False,
-        )(seed, l2, w2, pm)
+        )(*operands)
         out = out.reshape(nbatch, _LANE)[:, :4]
         return jnp.stack(
             [jnp.concatenate([out[:, 0], out[:, 2]]),
@@ -447,15 +511,25 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
 
 
 def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
-                        m_tile=64, interpret=False, precision="default"):
+                        m_tile=64, interpret=False, precision="default",
+                        subharm_screens=None):
     """Monte Carlo couplings from colfac-basis noise, one fused kernel.
 
     Same distribution as ``synthesize_screens_colfac`` + detector — P*N
     normals per screen instead of N^2 — with the factors streamed
     block-by-block through VMEM and screens accumulated on-chip (never in
     HBM). Returns (2*nbatch, 2) float32 unnormalised couplings.
+
+    ``b_tile``/``m_tile`` are caps: the actual tiles are the largest
+    divisors of ``nbatch`` / ``ncols`` not exceeding them, so any batch
+    size and grid size work (awkward primes just run smaller tiles).
+    ``subharm_screens`` (from :func:`pad_subharm_screens`,
+    (nbatch, 2, P, P)) adds per-screen low-order subharmonic phase before
+    the on-chip detector.
     """
     ncols, npup, _ = L.shape
+    b_tile = _auto_tile(nbatch, b_tile)
+    m_tile = _auto_tile(ncols, m_tile)
     P = _round_up(npup, _LANE)
     l2 = np.zeros((2, ncols, P, P), np.float32)
     l2[0, :, :npup, :npup] = np.real(L)
@@ -469,4 +543,4 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
     return _colfac_detect_call(seed, jnp.asarray(l2), jnp.asarray(w2),
                                jnp.asarray(pm), int(nbatch), int(b_tile),
                                int(m_tile), interpret=interpret,
-                               precision=precision)
+                               precision=precision, sh=subharm_screens)

@@ -92,6 +92,77 @@ def test_interpret_colfac_detect_deterministic():
     np.testing.assert_allclose(c[128:, 1], c2i, rtol=2e-4, atol=1e-3)
 
 
+def test_interpret_subharm_add_in_detect_kernels():
+    """Subharmonic screens passed into the fused detectors are added to the
+    phase before the on-chip ``exp``: validated against a numpy evaluation
+    (the interpreter PRNG is deterministic — zero bits)."""
+    N, lo, hi = 64, 20, 44
+    npup = hi - lo
+    rng = np.random.default_rng(5)
+    sqrt_ps = (rng.random((N, N)) + 0.2).astype(np.float32)
+    df = 0.3
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex64)
+    pm = rng.random((npup, npup)).astype(np.float32)
+    nbatch = 4
+    shc = (rng.normal(size=(nbatch, npup, npup))
+           + 1j * rng.normal(size=(nbatch, npup, npup))).astype(np.complex64)
+    sh = np.asarray(pallas_synth.pad_subharm_screens(shc, npup))
+
+    c = np.asarray(pallas_synth.fused_synthesis_detect(
+        1, sqrt_ps, df, nbatch, W, pm, interpret=True, subharm_screens=sh))
+
+    # interpreter PRNG: u1 = 2^-25, u2 = 0 -> noise = r0 * s (real)
+    r0 = np.sqrt(-2 * np.log(np.float32(2.0 ** -25))).astype(np.float32)
+    X = r0 * sqrt_ps * np.float32(df)
+    scr = np.asarray(W) @ X.astype(np.complex64) @ np.asarray(W).T
+    for b in range(nbatch):
+        phi1 = scr.real + shc[b].real
+        phi2 = scr.imag + shc[b].imag
+        np.testing.assert_allclose(
+            c[b], [(pm * np.cos(phi1)).sum(), (pm * np.sin(phi1)).sum()],
+            rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(
+            c[nbatch + b],
+            [(pm * np.cos(phi2)).sum(), (pm * np.sin(phi2)).sum()],
+            rtol=1e-3, atol=1e-3)
+
+    # colfac variant: same screens-in, same adds
+    L = (rng.normal(size=(N, npup, npup))
+         + 1j * rng.normal(size=(N, npup, npup))).astype(np.complex64) * 0.01
+    cc = np.asarray(pallas_synth.fused_colfac_detect(
+        3, L, W, pm, nbatch, interpret=True, subharm_screens=sh))
+    G = r0 * L.sum(axis=2).T
+    scr_c = G @ np.asarray(W).T
+    for b in range(nbatch):
+        phi1 = scr_c.real + shc[b].real
+        np.testing.assert_allclose(
+            cc[b], [(pm * np.cos(phi1)).sum(), (pm * np.sin(phi1)).sum()],
+            rtol=1e-3, atol=1e-3)
+
+
+def test_colfac_auto_tiling_any_sizes():
+    """Batch/column counts that are not multiples of 64 auto-tile down:
+    the tiles become the largest divisors <= the caps, so any NITER/
+    NCHUNKS/grid combination runs (previously a hard divisibility
+    requirement)."""
+    N, npup = 96, 24            # 96 % 64 != 0 -> m_tile 48
+    rng = np.random.default_rng(4)
+    L = (rng.normal(size=(N, npup, npup))
+         + 1j * rng.normal(size=(N, npup, npup))).astype(np.complex64) * 0.01
+    W = synthesis.pruned_ift2_matrix(N, 20, 44, dtype=np.complex64)
+    pm = rng.random((npup, npup)).astype(np.float32)
+    for nbatch in (56, 10, 7):  # 56 -> b_tile 56; 10 -> 10; 7 (prime) -> 7
+        c = pallas_synth.fused_colfac_detect(3, L, W, pm, nbatch,
+                                             interpret=True)
+        assert c.shape == (2 * nbatch, 2)
+        # same deterministic plumbing identity as the divisible case
+        r0 = np.float32(np.sqrt(-2 * np.log(np.float32(2.0 ** -25))))
+        G = r0 * L.sum(axis=2).T
+        scr = G @ np.asarray(W).T
+        c1 = (pm * np.cos(scr.real)).sum()
+        np.testing.assert_allclose(c[:nbatch, 0], c1, rtol=2e-4)
+
+
 @pytest.mark.skipif(not on_tpu, reason="needs TPU hardware PRNG")
 def test_colfac_kernel_statistics_on_tpu():
     """Colfac-basis kernel couplings match the colfac Gaussian process.
