@@ -624,31 +624,32 @@ class Fast:
 
         def chunk(key, chi):
             kmain, ksub = jax.random.split(key)
-            if synth == "pallas_colfac":
+            if synth in ("pallas_fused", "pallas_colfac"):
+                from .ops import pallas_synth
+                seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
+                sh = None
                 if subharm:
-                    raise NotImplementedError(
-                        "SYNTH='pallas_colfac' does not support SUBHARM; "
-                        "use 'pallas_fused' or 'colfac'")
-                from .ops.pallas_synth import fused_colfac_detect
-                seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
-                c = fused_colfac_detect(seed, L, W, pm, B // 2,
-                                        precision=precision)
+                    # low-order modes synthesized with stock XLA (27-mode
+                    # einsum, cheap) and added on-chip before the fused
+                    # detector
+                    sh = pallas_synth.pad_subharm_screens(
+                        synthesis.synthesize_subharm_complex(
+                            ksub, sqrt_psd_sh, sh_df, sh_modes, B // 2,
+                            crop=crop), pm.shape[0])
+                if synth == "pallas_colfac":
+                    c = pallas_synth.fused_colfac_detect(
+                        seed, L, W, pm, B // 2, precision=precision,
+                        subharm_screens=sh)
+                else:
+                    c = pallas_synth.fused_synthesis_detect(
+                        seed, sqrt_psd, df, B // 2, W, pm,
+                        precision=precision, subharm_screens=sh)
                 pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2 / norm)
                 out = jnp.exp(chi).astype(jnp.float32) * pc
                 if not coherent:
                     return jnp.abs(out) ** 2
                 return jnp.stack([out.real, out.imag], axis=-1)
-            if synth == "pallas_fused" and not subharm:
-                from .ops.pallas_synth import fused_synthesis_detect
-                seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
-                c = fused_synthesis_detect(seed, sqrt_psd, df, B // 2, W, pm,
-                                           precision=precision)
-                pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2 / norm)
-                out = jnp.exp(chi).astype(jnp.float32) * pc
-                if not coherent:
-                    return jnp.abs(out) ** 2
-                return jnp.stack([out.real, out.imag], axis=-1)
-            if synth == "pallas" or (synth == "pallas_fused" and subharm):
+            if synth == "pallas":
                 from .ops.pallas_synth import fused_synthesis
                 seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
                 phs = fused_synthesis(seed, sqrt_psd, df, B // 2, W,
@@ -801,12 +802,19 @@ class Fast:
             temporal_ps=np.asarray(self.temporal_logamp_powerspec, dt_np),
             dx=dt_np.type(self.dx), norm=dt_np.type(self._norm),
             logamp_var=dt_np.type(self.logamp_var))
+        if dt_np == np.float32 and self.params["SYNTH"] != "fft":
+            # per-step pruned-DFT + detector fused into the scan (MXU
+            # matmuls, no (B, N, N) block in memory); SYNTH='fft' or f64
+            # keeps the batched exact-ifft2 path for verification runs
+            W = synthesis.pruned_ift2_matrix(
+                self.Npxls, *self.pup_crop, dtype=np.complex64)
+            C["w2"] = np.stack([W.real, W.imag]).astype(dt_np)
         import functools as _ft
         return _ft.partial(
             _run_all_temporal_ar, C=C, nchunks=self.Nchunks,
             B=self.Niter_per_chunk, coherent=bool(self.params["COHERENT"]),
             crop=self.pup_crop, boiling=bool(np.any(self._ar_alpha < 1.0)),
-            temporal_chi=True)
+            temporal_chi=True, precision=self.params["PRECISION"])
 
     def run(self, progress=False):
         """Draw all Monte Carlo realizations; returns :class:`FastResult`.
@@ -1197,10 +1205,16 @@ def _run_all_temporal_screens(key_logamp, key_scr, C, *, nchunks, B,
 @_functools.partial(
     jax.jit,
     static_argnames=("nchunks", "B", "coherent", "crop", "boiling",
-                     "temporal_chi"))
+                     "temporal_chi", "precision"))
 def _run_all_temporal_ar(key_logamp, key_scr, C, *, nchunks, B, coherent,
-                         crop, boiling, temporal_chi):
-    """Whole AR(1)-in-Fourier frozen-flow run as one shared program."""
+                         crop, boiling, temporal_chi, precision="highest"):
+    """Whole AR(1)-in-Fourier frozen-flow run as one shared program.
+
+    With ``w2`` in ``C`` (the float32 path) each step runs the fused
+    AR-update + pruned-DFT + detector pipeline
+    (:func:`synthesis.ar_flow_couplings`); otherwise chunks of
+    coefficients are batched through the exact centered ifft2.
+    """
     lo, hi = crop
     chi_all = synthesis.draw_logamp(
         key_logamp, nchunks * B, C["logamp_var"],
@@ -1220,13 +1234,20 @@ def _run_all_temporal_ar(key_logamp, key_scr, C, *, nchunks, B, coherent,
     a0 = synthesis.complex_normal(kinit, sqrt_psd_df.shape,
                                   dtype=cdt) * sqrt_psd_df
 
+    W = jax.lax.complex(C["w2"][0], C["w2"][1]) if "w2" in C else None
+
     def body(carry, chi_c):
         a, k = carry
-        a, k, A = synthesis.ar_flow_series(
-            a, k, step_phasor, sqrt_psd_df, alpha, sqrt1ma, B, boiling)
-        phs = ift2(A, 1.0).real[:, lo:hi, lo:hi]
-        pc = synthesis.detector_coupling(phs, pm, dx, norm)
-        out = jnp.exp(chi_c).astype(pc.real.dtype) * pc
+        if W is not None:
+            a, k, out = synthesis.ar_flow_couplings(
+                a, k, step_phasor, sqrt_psd_df, alpha, sqrt1ma, chi_c, W,
+                pm, dx, norm, boiling, precision=precision)
+        else:
+            a, k, A = synthesis.ar_flow_series(
+                a, k, step_phasor, sqrt_psd_df, alpha, sqrt1ma, B, boiling)
+            phs = ift2(A, 1.0).real[:, lo:hi, lo:hi]
+            pc = synthesis.detector_coupling(phs, pm, dx, norm)
+            out = jnp.exp(chi_c).astype(pc.real.dtype) * pc
         if not coherent:
             return (a, k), jnp.abs(out) ** 2
         return (a, k), jnp.stack([out.real, out.imag], axis=-1)

@@ -304,6 +304,52 @@ def ar_flow_series(a, key, step_phasor, sqrt_psd_df, alpha, sqrt1ma, nsteps,
     return a, key, A
 
 
+def ar_flow_couplings(a, key, step_phasor, sqrt_psd_df, alpha, sqrt1ma,
+                      chi, W, pm, dx, norm, boiling, precision="highest"):
+    """AR(1) frozen-flow step + pruned DFT + detector, fused per step.
+
+    Same process as :func:`ar_flow_series` followed by the centered
+    ``ift2`` + pupil crop + :func:`detector_coupling`, but the per-step
+    screen is produced by the pruned inverse-DFT matmuls (MXU) and reduced
+    to one complex coupling immediately — the scan never materialises the
+    (nsteps, N, N) coefficient block in memory, so HBM traffic per step is
+    a few floats instead of the full grid.
+
+    Args:
+        chi: (nsteps,) log-amplitude series for the block.
+        W: (Npup, N) complex pruned inverse-DFT matrix
+            (:func:`pruned_ift2_matrix`).
+        pm: (Npup, Npup) pupil*mode weights.
+
+    Returns:
+        (a_final, key_final, out) with ``out`` (nsteps,) complex couplings
+        already scaled by ``exp(chi) * dx^2 / norm``.
+    """
+    prec = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[precision]
+    W = jnp.asarray(W)
+    pm = jnp.asarray(pm)
+
+    def step(carry, chi_t):
+        a, k = carry
+        a = step_phasor * a
+        if boiling:
+            k, sub = jax.random.split(k)
+            z = complex_normal(sub, a.shape, dtype=a.dtype)
+            a = alpha * a + sqrt1ma * (z * sqrt_psd_df)
+        A = a.sum(0)
+        G = jnp.einsum("rk,km->rm", W, A, precision=prec)
+        phs = jnp.einsum("rm,cm->rc", G, W, precision=prec).real
+        pc = detector_coupling(phs, pm, dx, norm)
+        return (a, k), jnp.exp(chi_t).astype(pc.real.dtype) * pc
+
+    (a, key), out = jax.lax.scan(step, (a, key), chi)
+    return a, key, out
+
+
 def detector_coupling(phs, pupil_mode, dx, normalisation):
     """Pupil-overlap reduction to one complex coupling per realization.
 

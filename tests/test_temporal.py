@@ -193,3 +193,17 @@ class TestARFrozenFlow:
         p = make_test_params(TEMPORAL=True, TEMPORAL_SYNTH="banana")
         with pytest.raises(ValueError, match="TEMPORAL_SYNTH"):
             fast_tpu.Fast(p)
+
+    def test_fused_coupling_path_matches_fft_path(self):
+        """Per-step pruned-DFT+detector scan equals the batched-ifft2 AR
+        path on the same seed (same noise stream, different synthesis)."""
+        p = make_test_params(NPXLS=128, NITER=200, NCHUNKS=4, SEED=9,
+                             TEMPORAL=True, TEMPORAL_SYNTH="ar",
+                             TEMPORAL_ALPHA=0.98)
+        s_mm = fast_tpu.Fast(dict(p))          # SYNTH=auto -> fused matmuls
+        s_ft = fast_tpu.Fast({**p, "SYNTH": "fft"})
+        I_mm = np.asarray(s_mm.run().power)
+        I_ft = np.asarray(s_ft.run().power)
+        assert "w2" in s_mm._run_all_fn_temporal_ar().keywords["C"]
+        assert "w2" not in s_ft._run_all_fn_temporal_ar().keywords["C"]
+        np.testing.assert_allclose(I_mm, I_ft, rtol=2e-3, atol=1e-9)
