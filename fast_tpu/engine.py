@@ -809,6 +809,17 @@ class Fast:
             W = synthesis.pruned_ift2_matrix(
                 self.Npxls, *self.pup_crop, dtype=np.complex64)
             C["w2"] = np.stack([W.real, W.imag]).astype(dt_np)
+            if jax.default_backend() == "tpu":
+                # fully fused Pallas kernel: the AR state lives in VMEM
+                # scratch for the whole series, boiling noise from the
+                # on-chip PRNG, per-step HBM traffic is two floats
+                ph = np.exp(1j * phase) * self._ar_alpha[:, None, None]
+                C["ph2"] = np.stack([ph.real, ph.imag]).astype(dt_np)
+                sqrt1ma = np.sqrt(np.maximum(
+                    0.0, 1.0 - np.float64(self._ar_alpha) ** 2))
+                if np.any(self._ar_alpha < 1.0):
+                    C["ns"] = (sqrt1ma[:, None, None]
+                               * np.float64(sqrt_psd_df)).astype(dt_np)
         import functools as _ft
         return _ft.partial(
             _run_all_temporal_ar, C=C, nchunks=self.Nchunks,
@@ -1235,6 +1246,19 @@ def _run_all_temporal_ar(key_logamp, key_scr, C, *, nchunks, B, coherent,
                                   dtype=cdt) * sqrt_psd_df
 
     W = jax.lax.complex(C["w2"][0], C["w2"][1]) if "w2" in C else None
+
+    if "ph2" in C:
+        from .ops import pallas_synth
+        seed = jax.random.bits(knoise, (), "uint32").astype(jnp.int32)
+        ph_scaled = jax.lax.complex(C["ph2"][0], C["ph2"][1])
+        c, _ = pallas_synth.ar_flow_fused(
+            seed, a0, ph_scaled, C.get("ns"), W, pm, nchunks * B,
+            precision=precision)
+        pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2 / norm)
+        out = jnp.exp(chi_all).astype(jnp.float32) * pc
+        if not coherent:
+            return jnp.abs(out) ** 2
+        return jnp.stack([out.real, out.imag], axis=-1)
 
     def body(carry, chi_c):
         a, k = carry

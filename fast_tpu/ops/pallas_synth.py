@@ -510,6 +510,200 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
              jnp.concatenate([out[:, 1], out[:, 3]])], axis=-1)
 
 
+def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
+                    pm_ref, out_ref, afin_ref, st_ref, *, nlayers, N,
+                    nsteps, boiling, precision):
+    """AR(1)-in-Fourier frozen flow, fully fused: one grid step per time
+    step, the (nlayers*N, N) complex state resident in VMEM scratch for
+    the whole series.
+
+    Per step: state *= (alpha * e^{i kappa.v dt}) [folded into ``ph``],
+    optionally += on-chip-PRNG noise * sqrt(1-alpha^2)*sqrt(PSD)*df
+    [folded into ``ns``], layer-sum, pruned inverse DFT to the pupil crop
+    (MXU dots), pupil-overlap detector — the screen never exists outside
+    VMEM and HBM traffic per step is two floats out.
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        st_ref[...] = a0_ref[...]
+
+    pr = ph_ref[0]
+    pi = ph_ref[1]
+    ar = st_ref[0]
+    ai = st_ref[1]
+    nr = ar * pr - ai * pi
+    ni = ar * pi + ai * pr
+    if boiling:
+        pltpu.prng_seed(seed_ref[0], t)
+        shape = nr.shape  # (nlayers*N, N)
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+        i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+        u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+        u2 = i2.astype(jnp.float32) * (2.0 ** -24)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = (2.0 * np.pi) * u2
+        ns = ns_ref[:]
+        nr = nr + r * jnp.cos(theta) * ns
+        ni = ni + r * jnp.sin(theta) * ns
+    st_ref[0] = nr
+    st_ref[1] = ni
+
+    # layer sum via static row slices
+    A_r = nr[0:N]
+    A_i = ni[0:N]
+    for l in range(1, nlayers):
+        A_r = A_r + nr[l * N:(l + 1) * N]
+        A_i = A_i + ni[l * N:(l + 1) * N]
+
+    wr = wr_ref[:]
+    wi = wi_ref[:]
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def dot_t(a, b):  # a @ b.T
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    gr = dot(wr, A_r) - dot(wi, A_i)
+    gi = dot(wr, A_i) + dot(wi, A_r)
+    # the series is the *real* part of the complex screen
+    phi = dot_t(gr, wr) - dot_t(gi, wi)
+
+    pm = pm_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+    packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi)), 0.0)
+              + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi)), 0.0))
+    out_ref[0] = packed
+
+    @pl.when(t == nsteps - 1)
+    def _final():
+        afin_ref[...] = st_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "nlayers",
+                                             "interpret", "precision"))
+def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
+                  interpret=False, precision="default"):
+    with jax.enable_x64(False):
+        LN, N = a0.shape[1:]
+        P = wr.shape[0]
+        boiling = ns is not None
+        in_specs = [
+            pl.BlockSpec((2, LN, N), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, LN, N), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [seed, a0, ph]
+        if boiling:
+            in_specs.append(pl.BlockSpec((LN, N), lambda t, *_: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(ns)
+        in_specs += [
+            pl.BlockSpec((P, N), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, P), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [wr, wi, pm]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nsteps,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, _LANE), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, LN, N), lambda t, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((2, LN, N), jnp.float32)],
+        )
+        kern = functools.partial(
+            _ar_flow_kernel, nlayers=nlayers, N=N, nsteps=nsteps,
+            boiling=boiling, precision=_PRECISIONS[precision])
+
+        if boiling:
+            def _shim(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
+                      pm_ref, out_ref, afin_ref, st_ref):
+                kern(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
+                     pm_ref, out_ref, afin_ref, st_ref)
+        else:
+            def _shim(seed_ref, a0_ref, ph_ref, wr_ref, wi_ref, pm_ref,
+                      out_ref, afin_ref, st_ref):
+                kern(seed_ref, a0_ref, ph_ref, None, wr_ref, wi_ref,
+                     pm_ref, out_ref, afin_ref, st_ref)
+
+        need = (4 * 2 * LN * N + 3 * P * N + 2 * P * P) * 4
+        out, afin = pl.pallas_call(
+            _shim,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nsteps, 1, _LANE), jnp.float32),
+                jax.ShapeDtypeStruct((2, LN, N), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(64 * 1024 * 1024, int(need * 1.4)),
+                dimension_semantics=("arbitrary",)),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(*operands)
+        return out[:, 0, :2], afin
+
+
+def ar_flow_fused(seed, a0, step_phasor_scaled, noise_scale, W, pupil_mode,
+                  nsteps, interpret=False, precision="default"):
+    """Whole AR(1) frozen-flow coupling series from one fused kernel.
+
+    Args:
+        seed: int32 scalar (derive from a JAX key).
+        a0: (nlayers, N, N) complex initial Fourier state.
+        step_phasor_scaled: (nlayers, N, N) complex
+            ``alpha * e^{i kappa . v dt}`` (AR decay folded in).
+        noise_scale: (nlayers, N, N) real
+            ``sqrt(1 - alpha^2) * sqrt(PSD) * df``, or None for pure
+            frozen flow (no per-step noise).
+        W: (Npup, N) complex pruned inverse-DFT matrix.
+        pupil_mode: (Npup, Npup) pupil*mode weights.
+        nsteps: series length.
+
+    Returns:
+        (couplings, a_final): (nsteps, 2) float32 unnormalised couplings
+        (multiply by ``dx^2/norm`` downstream) and the (nlayers, N, N)
+        complex state after the last step.
+    """
+    L, N, _ = a0.shape
+    npup = W.shape[0]
+    P = _round_up(npup, _LANE)
+    a02 = jnp.stack([jnp.real(a0), jnp.imag(a0)]).reshape(2, L * N, N) \
+        .astype(jnp.float32)
+    ph2 = jnp.stack([jnp.real(step_phasor_scaled),
+                     jnp.imag(step_phasor_scaled)]) \
+        .reshape(2, L * N, N).astype(jnp.float32)
+    ns = None
+    if noise_scale is not None:
+        ns = jnp.asarray(noise_scale, jnp.float32).reshape(L * N, N)
+    W = jnp.asarray(W)
+    wr = jnp.pad(jnp.real(W).astype(jnp.float32), ((0, P - npup), (0, 0)))
+    wi = jnp.pad(jnp.imag(W).astype(jnp.float32), ((0, P - npup), (0, 0)))
+    pm = jnp.pad(jnp.asarray(pupil_mode, jnp.float32),
+                 ((0, P - npup), (0, P - npup)))
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    out, afin = _ar_flow_call(seed, a02, ph2, ns, wr, wi, pm, int(nsteps),
+                              int(L), interpret=interpret,
+                              precision=precision)
+    a_final = jax.lax.complex(afin[0], afin[1]).reshape(L, N, N)
+    return out, a_final
+
+
 def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
                         m_tile=64, interpret=False, precision="default",
                         subharm_screens=None):

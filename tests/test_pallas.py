@@ -140,6 +140,52 @@ def test_interpret_subharm_add_in_detect_kernels():
             rtol=1e-3, atol=1e-3)
 
 
+def test_interpret_ar_flow_kernel_matches_scan_path():
+    """Pure frozen flow (no boiling -> no RNG): the fused AR kernel's
+    coupling series equals the stock scan path exactly, step for step,
+    and the returned final state matches the AR recursion."""
+    import jax.numpy as jnp
+
+    L_layers, N, lo, hi = 2, 64, 20, 44
+    npup = hi - lo
+    rng = np.random.default_rng(6)
+    a0 = (rng.normal(size=(L_layers, N, N))
+          + 1j * rng.normal(size=(L_layers, N, N))).astype(np.complex64)
+    ph = np.exp(1j * rng.uniform(-3, 3, (L_layers, N, N))) \
+        .astype(np.complex64)
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex64)
+    pm = rng.random((npup, npup)).astype(np.float32)
+    nsteps = 5
+
+    c, afin = pallas_synth.ar_flow_fused(
+        1, jnp.asarray(a0), jnp.asarray(ph), None, W, pm, nsteps,
+        interpret=True, precision="highest")
+    c = np.asarray(c)
+    assert c.shape == (nsteps, 2)
+
+    # reference recursion in numpy
+    a = a0.copy()
+    for t in range(nsteps):
+        a = ph * a
+        A = a.sum(0)
+        phi = (np.asarray(W) @ A @ np.asarray(W).T).real
+        np.testing.assert_allclose(
+            c[t], [(pm * np.cos(phi)).sum(), (pm * np.sin(phi)).sum()],
+            rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(afin), a, rtol=2e-4, atol=2e-4)
+
+    # same process through the scan-path helper (chi = 0, unit scaling)
+    a2, _, out = synthesis.ar_flow_couplings(
+        jnp.asarray(a0), jax.random.key(0), jnp.asarray(ph),
+        jnp.zeros((L_layers, N, N), jnp.float32),
+        jnp.ones((L_layers, 1, 1), jnp.float32),
+        jnp.zeros((L_layers, 1, 1), jnp.float32),
+        jnp.zeros((nsteps,), jnp.float32), W, pm, 1.0, 1.0, False,
+        precision="highest")
+    np.testing.assert_allclose(
+        c[:, 0] + 1j * c[:, 1], np.asarray(out), rtol=5e-3, atol=5e-3)
+
+
 def test_colfac_auto_tiling_any_sizes():
     """Batch/column counts that are not multiples of 64 auto-tile down:
     the tiles become the largest divisors <= the caps, so any NITER/
