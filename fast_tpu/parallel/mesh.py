@@ -105,6 +105,97 @@ def run_sharded(sim, mesh=None, seed=None):
     return sim.result
 
 
+def _run_sharded_temporal_ar(sim, mesh=None, seed=None):
+    """Time-axis sharding of a pure frozen-flow AR series.
+
+    With ``alpha == 1`` the AR(1)-in-Fourier state at step t is exactly
+    ``a0 * phasor^t``, so each device jumps its window start directly
+    (``exp(i * phase * offset)``) and runs its window locally — the
+    gathered series is sample-identical to the serial one. Boiling
+    (``alpha < 1``) makes the recursion genuinely sequential (per-step
+    noise); parallelise over the scan axis instead.
+    """
+    import functools as _ft
+
+    from ..ops.rng import make_key
+    from ..engine import FastResult
+
+    if np.any(np.asarray(sim._ar_alpha) < 1.0):
+        raise NotImplementedError(
+            "time-axis sharding of a *boiling* AR series (alpha < 1) is "
+            "sequential by construction; shard independent series over the "
+            "scan axis instead (parallel.run_scan_sharded), or set "
+            "TEMPORAL_ALPHA=1")
+    if mesh is None:
+        mesh = make_mesh()
+    axis_name = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    niter = sim.Niter
+    if niter % ndev != 0:
+        raise ValueError(
+            f"NITER ({niter}) must be divisible by n_devices ({ndev})")
+    t_local = niter // ndev
+
+    key = make_key(seed if seed is not None else sim.seed,
+                   impl=sim.params["RNG"])
+    key_logamp, key_scr, _ = jax.random.split(key, 3)
+    chi = synthesis.draw_logamp(
+        key_logamp, niter, sim.logamp_var,
+        temporal_powerspec=sim.temporal_logamp_powerspec, dtype=sim.dtype)
+
+    dt = np.dtype(str(sim.dtype))
+    cdt = np.complex64 if dt == np.float32 else np.complex128
+    sqrt_psd_df = (sim._sqrt_psd_layers
+                   * np.float64(sim.freq.main.df)).astype(dt)
+    v = np.asarray(sim.wind_vector, np.float64)
+    fxm = np.asarray(sim.freq.main.fx, np.float64)
+    fym = np.asarray(sim.freq.main.fy, np.float64)
+    phase64 = (fxm[None] * v[:, 0, None, None]
+               + fym[None] * v[:, 1, None, None]) * float(sim.dt)
+    step_phasor = np.exp(1j * phase64)
+    W = synthesis.pruned_ift2_matrix(sim.Npxls, *sim.pup_crop, dtype=cdt)
+    pm = sim._pm
+    dx = sim.dx
+    norm = sim._norm
+    coherent = bool(sim.params["COHERENT"])
+    precision = sim.params["PRECISION"]
+    zeros = np.zeros((len(sim.h), 1, 1), dt)
+
+    kinit, knoise = jax.random.split(key_scr)
+    a0 = synthesis.complex_normal(
+        kinit, sqrt_psd_df.shape, dtype=cdt) * sqrt_psd_df
+
+    @_ft.partial(shard_map, mesh=mesh, in_specs=(P(), P(axis_name)),
+                 out_specs=P(axis_name))
+    def shard_fn(a0, chi_shard):
+        w = jax.lax.axis_index(axis_name)
+        # jump the recursion to this window's start; the accumulated angle
+        # is wrapped in float64 *before* the working-precision cast so the
+        # fractional cycle survives large offsets (no complex128 anywhere
+        # — TPU backends lack it)
+        off = (w * t_local).astype(jnp.float64)
+        ang = jnp.mod(jnp.asarray(phase64) * off, 2 * np.pi).astype(dt)
+        jump = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+        a_start = a0 * jump.astype(a0.dtype)
+        _, _, out = synthesis.ar_flow_couplings(
+            a_start, knoise, jnp.asarray(step_phasor.astype(cdt)),
+            jnp.asarray(sqrt_psd_df), jnp.asarray(zeros + 1),
+            jnp.asarray(zeros), chi_shard, W, pm, dx, norm, False,
+            precision=precision)
+        if not coherent:
+            return jnp.abs(out) ** 2
+        return jnp.stack([out.real, out.imag], axis=-1)
+
+    with mesh:
+        out = jax.jit(shard_fn)(a0, chi)
+
+    from ..engine import Fast
+    I = Fast._combine_complex(out, coherent)
+    sim.result = FastResult(I, sim.diffraction_limit)
+    sim.I = sim.result.power
+    return sim.result
+
+
 def _run_sharded_temporal(sim, mesh=None, seed=None):
     """Time-axis sharding of one frozen-flow series (see run_sharded)."""
     import functools as _ft
@@ -112,6 +203,8 @@ def _run_sharded_temporal(sim, mesh=None, seed=None):
     from ..ops.rng import make_key
     from ..engine import FastResult
 
+    if getattr(sim, "_temporal_synth", "screens") == "ar":
+        return _run_sharded_temporal_ar(sim, mesh, seed)
     if mesh is None:
         mesh = make_mesh()
     axis_name = mesh.axis_names[0]

@@ -104,6 +104,32 @@ def test_temporal_sharded_equals_serial(mesh8):
     np.testing.assert_allclose(r_sharded, r_serial, rtol=2e-3)
 
 
+def test_temporal_ar_sharded_equals_serial(mesh8):
+    """Time-axis sharding of a pure frozen-flow AR series is
+    sample-identical to the serial run (window starts jump the recursion
+    via phasor powers)."""
+    p = make_test_params(TEMPORAL=True, TEMPORAL_SYNTH="ar",
+                         TEMPORAL_ALPHA=1.0, NPXLS=128, NITER=160,
+                         NCHUNKS=4, SEED=14)
+    serial = fast_tpu.Fast(dict(p))
+    r_serial = np.asarray(serial.run().power)
+
+    sharded = fast_tpu.Fast(dict(p))
+    r_sharded = np.asarray(parallel.run_sharded(sharded, mesh=mesh8).power)
+    assert r_sharded.shape == r_serial.shape
+    np.testing.assert_allclose(r_sharded, r_serial, rtol=5e-3,
+                               atol=1e-9)
+
+
+def test_temporal_ar_boiling_sharding_rejected(mesh8):
+    p = make_test_params(TEMPORAL=True, TEMPORAL_SYNTH="ar",
+                         TEMPORAL_ALPHA=0.9, NPXLS=128, NITER=160,
+                         NCHUNKS=4, SEED=14)
+    sim = fast_tpu.Fast(p)
+    with pytest.raises(NotImplementedError, match="boiling"):
+        parallel.run_sharded(sim, mesh=mesh8)
+
+
 def test_coherent_sharded(mesh8):
     p = make_test_params(TEMPORAL=False, NITER=1600, NCHUNKS=1, SEED=3,
                          COHERENT=True)
