@@ -102,6 +102,13 @@ TPU_DEFAULTS = {
                             # pure frozen flow; 'auto' decorrelates modes
                             # over one grid-wrap time when the series is
                             # long enough to wrap
+    "TEMPORAL_NOISE": "uniform",  # boiling-noise marginal in the fused AR
+                            # kernel: 'uniform' (scaled uniforms — exact
+                            # second-order statistics; the ~43-step AR sum
+                            # per mode x 262k-mode screen sum makes higher
+                            # moments Gaussian to <1e-3 by CLT; ~2x faster
+                            # per boiling step) | 'gauss' (Box-Muller).
+                            # Non-kernel paths always draw Gaussians.
 }
 
 

@@ -825,7 +825,8 @@ class Fast:
             _run_all_temporal_ar, C=C, nchunks=self.Nchunks,
             B=self.Niter_per_chunk, coherent=bool(self.params["COHERENT"]),
             crop=self.pup_crop, boiling=bool(np.any(self._ar_alpha < 1.0)),
-            temporal_chi=True, precision=self.params["PRECISION"])
+            temporal_chi=True, precision=self.params["PRECISION"],
+            noise=self.params["TEMPORAL_NOISE"])
 
     def run(self, progress=False):
         """Draw all Monte Carlo realizations; returns :class:`FastResult`.
@@ -1216,9 +1217,10 @@ def _run_all_temporal_screens(key_logamp, key_scr, C, *, nchunks, B,
 @_functools.partial(
     jax.jit,
     static_argnames=("nchunks", "B", "coherent", "crop", "boiling",
-                     "temporal_chi", "precision"))
+                     "temporal_chi", "precision", "noise"))
 def _run_all_temporal_ar(key_logamp, key_scr, C, *, nchunks, B, coherent,
-                         crop, boiling, temporal_chi, precision="highest"):
+                         crop, boiling, temporal_chi, precision="highest",
+                         noise="uniform"):
     """Whole AR(1)-in-Fourier frozen-flow run as one shared program.
 
     With ``w2`` in ``C`` (the float32 path) each step runs the fused
@@ -1253,7 +1255,7 @@ def _run_all_temporal_ar(key_logamp, key_scr, C, *, nchunks, B, coherent,
         ph_scaled = jax.lax.complex(C["ph2"][0], C["ph2"][1])
         c, _ = pallas_synth.ar_flow_fused(
             seed, a0, ph_scaled, C.get("ns"), W, pm, nchunks * B,
-            precision=precision)
+            precision=precision, noise=noise)
         pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2 / norm)
         out = jnp.exp(chi_all).astype(jnp.float32) * pc
         if not coherent:

@@ -512,7 +512,7 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
 
 def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
                     pm_ref, out_ref, afin_ref, st_ref, *, nlayers, N,
-                    nsteps, boiling, precision):
+                    nsteps, boiling, noise, precision):
     """AR(1)-in-Fourier frozen flow, fully fused: one grid step per time
     step, the (nlayers*N, N) complex state resident in VMEM scratch for
     the whole series.
@@ -542,13 +542,23 @@ def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
         bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
         i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
-        u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
-        u2 = i2.astype(jnp.float32) * (2.0 ** -24)
-        r = jnp.sqrt(-2.0 * jnp.log(u1))
-        theta = (2.0 * np.pi) * u2
         ns = ns_ref[:]
-        nr = nr + r * jnp.cos(theta) * ns
-        ni = ni + r * jnp.sin(theta) * ns
+        if noise == "uniform":
+            # unit-variance uniforms: exact second-order statistics; the
+            # per-mode AR sum and the 262k-mode screen sum make higher
+            # moments Gaussian by CLT (see TEMPORAL_NOISE in conf.py)
+            s3 = np.float32(np.sqrt(3.0))
+            z1 = i1.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+            z2 = i2.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+        else:
+            u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+            u2 = i2.astype(jnp.float32) * (2.0 ** -24)
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            theta = (2.0 * np.pi) * u2
+            z1 = r * jnp.cos(theta)
+            z2 = r * jnp.sin(theta)
+        nr = nr + z1 * ns
+        ni = ni + z2 * ns
     st_ref[0] = nr
     st_ref[1] = ni
 
@@ -589,9 +599,10 @@ def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("nsteps", "nlayers",
-                                             "interpret", "precision"))
+                                             "interpret", "precision",
+                                             "noise"))
 def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
-                  interpret=False, precision="default"):
+                  interpret=False, precision="default", noise="uniform"):
     with jax.enable_x64(False):
         LN, N = a0.shape[1:]
         P = wr.shape[0]
@@ -630,7 +641,7 @@ def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
         )
         kern = functools.partial(
             _ar_flow_kernel, nlayers=nlayers, N=N, nsteps=nsteps,
-            boiling=boiling, precision=_PRECISIONS[precision])
+            boiling=boiling, noise=noise, precision=_PRECISIONS[precision])
 
         if boiling:
             def _shim(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
@@ -660,7 +671,8 @@ def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
 
 
 def ar_flow_fused(seed, a0, step_phasor_scaled, noise_scale, W, pupil_mode,
-                  nsteps, interpret=False, precision="default"):
+                  nsteps, interpret=False, precision="default",
+                  noise="uniform"):
     """Whole AR(1) frozen-flow coupling series from one fused kernel.
 
     Args:
@@ -699,7 +711,7 @@ def ar_flow_fused(seed, a0, step_phasor_scaled, noise_scale, W, pupil_mode,
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     out, afin = _ar_flow_call(seed, a02, ph2, ns, wr, wi, pm, int(nsteps),
                               int(L), interpret=interpret,
-                              precision=precision)
+                              precision=precision, noise=noise)
     a_final = jax.lax.complex(afin[0], afin[1]).reshape(L, N, N)
     return out, a_final
 
