@@ -51,7 +51,12 @@ def run_scan_sharded(sims, mesh, seed=None):
     """
     s0 = sims[0]
     if s0.temporal:
-        raise NotImplementedError("scan sharding supports TEMPORAL=False")
+        if getattr(s0, "_temporal_synth", "screens") == "ar":
+            return _run_scan_sharded_temporal_ar(sims, mesh, seed)
+        raise NotImplementedError(
+            "scan sharding supports TEMPORAL=False or TEMPORAL_SYNTH='ar' "
+            "(fixed-grid series); the grown-grid 'screens' mode does not "
+            "shard over configurations")
     synth_override = None
     if s0._synth in ("pallas", "pallas_fused", "pallas_colfac"):
         if all(s.params.get("SYNTH") == "auto" for s in sims):
@@ -176,6 +181,120 @@ def run_scan_sharded(sims, mesh, seed=None):
                                 jnp.asarray(sqrt_psds), jnp.asarray(pms),
                                 jnp.asarray(norms), chi, jnp.asarray(l2),
                                 jnp.asarray(sqrt_psd_shs))
+
+    from ..engine import Fast
+    out = Fast._combine_complex(out, coherent)
+    results = []
+    for i, s in enumerate(sims):
+        s.result = FastResult(out[i], s.diffraction_limit)
+        s.I = s.result.power
+        results.append(s.result)
+    return results
+
+
+def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):
+    """Shard independent AR frozen-flow series over the ``scan`` axis.
+
+    Each configuration's series is ordered (sequential recursion), so the
+    parallel axis is the *configuration* axis: every scan device evolves
+    its local sims' AR(1)-in-Fourier state for the whole series. The
+    ``mc`` mesh dimension must be 1 (a single series has no independent
+    realization axis). This is the layout for orbit passes of temporal
+    fading series — one correlated series per orbit sample, samples in
+    parallel.
+    """
+    s0 = sims[0]
+    n_scan, n_mc = mesh.devices.shape
+    if n_mc != 1:
+        raise ValueError(
+            "temporal scan sharding needs an (n_scan, 1) mesh: one ordered "
+            "series per configuration has no mc axis")
+    nsims = len(sims)
+    if nsims % n_scan != 0:
+        raise ValueError(f"len(sims) ({nsims}) must divide by the scan "
+                         f"mesh dimension ({n_scan})")
+    for s in sims[1:]:
+        if (s.Npxls, s.Npxls_pup, s.Niter) != (s0.Npxls, s0.Npxls_pup,
+                                               s0.Niter):
+            raise ValueError("sims must share grid geometry and NITER")
+        if s._temporal_synth != "ar":
+            raise ValueError("sims must all use TEMPORAL_SYNTH='ar'")
+    boiling = bool(np.any(np.asarray(s0._ar_alpha) < 1.0))
+    for s in sims[1:]:
+        if bool(np.any(np.asarray(s._ar_alpha) < 1.0)) != boiling:
+            raise ValueError("sims must agree on boiling (alpha < 1)")
+
+    dt = np.dtype(str(s0.dtype))
+    cdt = np.complex64 if dt == np.float32 else np.complex128
+    niter = s0.Niter
+    dx = s0.dx
+    coherent = bool(s0.params["COHERENT"])
+    precision = s0.params["PRECISION"]
+    W = synthesis.pruned_ift2_matrix(s0.Npxls, *s0.pup_crop, dtype=cdt)
+
+    def tables(s):
+        spd = (s._sqrt_psd_layers
+               * np.float64(s.freq.main.df)).astype(dt)
+        v = np.asarray(s.wind_vector, np.float64)
+        fxm = np.asarray(s.freq.main.fx, np.float64)
+        fym = np.asarray(s.freq.main.fy, np.float64)
+        phase = (fxm[None] * v[:, 0, None, None]
+                 + fym[None] * v[:, 1, None, None]) * float(s.dt)
+        phase = np.angle(np.exp(1j * phase))
+        return spd, np.exp(1j * phase).astype(cdt)
+
+    spds, phs = (np.stack(x) for x in zip(*(tables(s) for s in sims)))
+    ph2 = np.stack([phs.real, phs.imag], 1)  # (nsims, 2, L, N, N)
+    pms = np.stack([s._pm for s in sims])
+    norms = np.asarray([s._norm for s in sims], np.float32)
+    alphas = np.stack([np.asarray(s._ar_alpha, dt)[:, None, None]
+                       for s in sims])
+    s1mas = np.sqrt(np.maximum(0.0, 1.0 - alphas.astype(np.float64) ** 2)
+                    ).astype(dt)
+
+    key = make_key(seed if seed is not None else s0.seed,
+                   impl=s0.params["RNG"])
+    key_logamp, key_scr = jax.random.split(key)
+    chi = jnp.stack([
+        synthesis.draw_logamp(
+            jax.random.fold_in(key_logamp, i), niter, sims[i].logamp_var,
+            temporal_powerspec=sims[i].temporal_logamp_powerspec,
+            dtype=s0.dtype)
+        for i in range(nsims)
+    ])  # (nsims, niter)
+    local_sims = nsims // n_scan
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P("scan"), P("scan"), P("scan"), P("scan"),
+                  P("scan"), P("scan"), P("scan")),
+        out_specs=P("scan"))
+    def shard_fn(key_data, spd_l, ph2_l, pm_l, norm_l, al_l, s1_l,
+                 chi_l):
+        key = jax.random.wrap_key_data(key_data)
+        key = jax.random.fold_in(key, jax.lax.axis_index("scan"))
+        outs = []
+        for s in range(local_sims):
+            kinit, knoise = jax.random.split(jax.random.fold_in(key, s))
+            spd = spd_l[s]
+            a0 = synthesis.complex_normal(
+                kinit, spd.shape, dtype=cdt) * spd
+            phasor = jax.lax.complex(ph2_l[s, 0], ph2_l[s, 1])
+            _, _, out = synthesis.ar_flow_couplings(
+                a0, knoise, phasor, spd, al_l[s], s1_l[s], chi_l[s], W,
+                pm_l[s], dx, norm_l[s], boiling, precision=precision)
+            if not coherent:
+                outs.append(jnp.abs(out) ** 2)
+            else:
+                outs.append(jnp.stack([out.real, out.imag], axis=-1))
+        return jnp.stack(outs)
+
+    with mesh:
+        out = jax.jit(shard_fn)(
+            jax.random.key_data(key_scr), jnp.asarray(spds),
+            jnp.asarray(ph2), jnp.asarray(pms),
+            jnp.asarray(norms), jnp.asarray(alphas), jnp.asarray(s1mas),
+            chi)
 
     from ..engine import Fast
     out = Fast._combine_complex(out, coherent)

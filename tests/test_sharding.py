@@ -121,6 +121,42 @@ def test_temporal_ar_sharded_equals_serial(mesh8):
                                atol=1e-9)
 
 
+def test_temporal_ar_scan_sharded(mesh8):
+    """Independent boiling AR series shard over the scan axis: one
+    correlated series per configuration, statistics matching a solo run."""
+    mesh = parallel.make_scan_mesh(8, 1, devices=mesh8.devices.ravel())
+    zeniths = [30, 35, 40, 45, 50, 55, 60, 65]
+    sims = [fast_tpu.Fast(make_test_params(
+        TEMPORAL=True, TEMPORAL_SYNTH="ar", TEMPORAL_ALPHA=0.95,
+        NPXLS=128, NITER=400, NCHUNKS=4, SEED=15, ZENITH_ANGLE=z))
+        for z in zeniths]
+    results = parallel.run_scan_sharded(sims, mesh)
+    assert len(results) == 8
+    for r in results:
+        x = np.asarray(r.power)
+        assert np.isfinite(x).all() and x.shape == (400,)
+        xc = x / x.mean() - 1
+        assert (xc[:-1] * xc[1:]).mean() / (xc * xc).mean() > 0.5
+
+    # statistics of one scan member vs a solo run of the same config
+    solo = fast_tpu.Fast(make_test_params(
+        TEMPORAL=True, TEMPORAL_SYNTH="ar", TEMPORAL_ALPHA=0.95,
+        NPXLS=128, NITER=400, NCHUNKS=4, SEED=99, ZENITH_ANGLE=55))
+    r_solo = np.asarray(solo.run().power) / solo.diffraction_limit
+    r_scan = np.asarray(results[5].power) / sims[5].diffraction_limit
+    # correlated series -> compare means loosely
+    assert abs(np.log(r_solo.mean() / r_scan.mean())) < 0.7
+
+
+def test_temporal_screens_scan_sharding_rejected(mesh8):
+    mesh = parallel.make_scan_mesh(8, 1, devices=mesh8.devices.ravel())
+    sims = [fast_tpu.Fast(make_test_params(
+        TEMPORAL=True, TEMPORAL_SYNTH="screens", NITER=40, NCHUNKS=4,
+        SEED=16)) for _ in range(8)]
+    with pytest.raises(NotImplementedError, match="screens"):
+        parallel.run_scan_sharded(sims, mesh)
+
+
 def test_temporal_ar_boiling_sharding_rejected(mesh8):
     p = make_test_params(TEMPORAL=True, TEMPORAL_SYNTH="ar",
                          TEMPORAL_ALPHA=0.9, NPXLS=128, NITER=160,
