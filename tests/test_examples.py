@@ -38,3 +38,11 @@ def test_modem_gmi_example(capsys):
     out = capsys.readouterr().out
     assert "GMI" in out
     assert "16-QAM" in out
+
+
+def test_orbit_temporal_scan_example(capsys):
+    runpy.run_path(os.path.join(EXAMPLES, "orbit_temporal_scan.py"),
+                   run_name="__main__")
+    out = capsys.readouterr().out
+    assert "fade dur" in out
+    assert out.count("\n") >= 5
