@@ -717,7 +717,7 @@ def ar_flow_fused(seed, a0, step_phasor_scaled, noise_scale, W, pupil_mode,
 
 
 def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
-                        m_tile=64, interpret=False, precision="default",
+                        m_tile=None, interpret=False, precision="default",
                         subharm_screens=None):
     """Monte Carlo couplings from colfac-basis noise, one fused kernel.
 
@@ -729,14 +729,19 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
     ``b_tile``/``m_tile`` are caps: the actual tiles are the largest
     divisors of ``nbatch`` / ``ncols`` not exceeding them, so any batch
     size and grid size work (awkward primes just run smaller tiles).
-    ``subharm_screens`` (from :func:`pad_subharm_screens`,
-    (nbatch, 2, P, P)) adds per-screen low-order subharmonic phase before
-    the on-chip detector.
+    ``m_tile=None`` auto-sizes: when the whole padded factor tensor fits
+    a ~36 MB VMEM block it is loaded once (``m_tile=ncols``; measured
+    +6% at 256^2 vs streaming in 64-column blocks), else 64-column
+    streaming. ``subharm_screens`` (from :func:`pad_subharm_screens`,
+    (nbatch, 2, P, P)) adds per-screen low-order subharmonic phase
+    before the on-chip detector.
     """
     ncols, npup, _ = L.shape
+    P = _round_up(npup, _LANE)
+    if m_tile is None:
+        m_tile = ncols if 2 * ncols * P * P * 4 <= 36e6 else 64
     b_tile = _auto_tile(nbatch, b_tile)
     m_tile = _auto_tile(ncols, m_tile)
-    P = _round_up(npup, _LANE)
     l2 = np.zeros((2, ncols, P, P), np.float32)
     l2[0, :, :npup, :npup] = np.real(L)
     l2[1, :, :npup, :npup] = np.imag(L)
