@@ -739,7 +739,11 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
     ncols, npup, _ = L.shape
     P = _round_up(npup, _LANE)
     if m_tile is None:
-        m_tile = ncols if 2 * ncols * P * P * 4 <= 36e6 else 64
+        # HIGHEST-precision (multi-pass) dots need extra VMEM headroom —
+        # the whole-tensor block + multi-pass buffers can overflow the
+        # compiler's budget, so keep streaming there
+        budget = 36e6 if precision == "default" else 0
+        m_tile = ncols if 2 * ncols * P * P * 4 <= budget else 64
     b_tile = _auto_tile(nbatch, b_tile)
     m_tile = _auto_tile(ncols, m_tile)
     l2 = np.zeros((2, ncols, P, P), np.float32)
