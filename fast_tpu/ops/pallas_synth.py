@@ -512,16 +512,18 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
 
 def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
                     pm_ref, out_ref, afin_ref, st_ref, *, nlayers, N,
-                    nsteps, boiling, noise, precision):
-    """AR(1)-in-Fourier frozen flow, fully fused: one grid step per time
-    step, the (nlayers*N, N) complex state resident in VMEM scratch for
-    the whole series.
+                    ngrid, k_steps, boiling, noise, precision):
+    """AR(1)-in-Fourier frozen flow, fully fused: ``k_steps`` time steps
+    per grid step, the (nlayers*N, N) complex state resident in VMEM
+    scratch for the whole series.
 
-    Per step: state *= (alpha * e^{i kappa.v dt}) [folded into ``ph``],
-    optionally += on-chip-PRNG noise * sqrt(1-alpha^2)*sqrt(PSD)*df
-    [folded into ``ns``], layer-sum, pruned inverse DFT to the pupil crop
-    (MXU dots), pupil-overlap detector — the screen never exists outside
-    VMEM and HBM traffic per step is two floats out.
+    Per time step: state *= (alpha * e^{i kappa.v dt}) [folded into
+    ``ph``], optionally += on-chip-PRNG noise *
+    sqrt(1-alpha^2)*sqrt(PSD)*df [folded into ``ns``], layer-sum, pruned
+    inverse DFT to the pupil crop (MXU dots), pupil-overlap detector —
+    the screen never exists outside VMEM and HBM traffic per step is two
+    floats out. Unrolling ``k_steps`` steps per program amortises the
+    per-grid-step overhead.
     """
     t = pl.program_id(0)
 
@@ -531,46 +533,13 @@ def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
 
     pr = ph_ref[0]
     pi = ph_ref[1]
-    ar = st_ref[0]
-    ai = st_ref[1]
-    nr = ar * pr - ai * pi
-    ni = ar * pi + ai * pr
-    if boiling:
-        pltpu.prng_seed(seed_ref[0], t)
-        shape = nr.shape  # (nlayers*N, N)
-        bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-        i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
-        i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
-        ns = ns_ref[:]
-        if noise == "uniform":
-            # unit-variance uniforms: exact second-order statistics; the
-            # per-mode AR sum and the 262k-mode screen sum make higher
-            # moments Gaussian by CLT (see TEMPORAL_NOISE in conf.py)
-            s3 = np.float32(np.sqrt(3.0))
-            z1 = i1.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
-            z2 = i2.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
-        else:
-            u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
-            u2 = i2.astype(jnp.float32) * (2.0 ** -24)
-            r = jnp.sqrt(-2.0 * jnp.log(u1))
-            theta = (2.0 * np.pi) * u2
-            z1 = r * jnp.cos(theta)
-            z2 = r * jnp.sin(theta)
-        nr = nr + z1 * ns
-        ni = ni + z2 * ns
-    st_ref[0] = nr
-    st_ref[1] = ni
-
-    # layer sum via static row slices
-    A_r = nr[0:N]
-    A_i = ni[0:N]
-    for l in range(1, nlayers):
-        A_r = A_r + nr[l * N:(l + 1) * N]
-        A_i = A_i + ni[l * N:(l + 1) * N]
-
     wr = wr_ref[:]
     wi = wi_ref[:]
+    pm = pm_ref[:]
+    if boiling:
+        ns = ns_ref[:]
+        pltpu.prng_seed(seed_ref[0], t)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -582,18 +551,54 @@ def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
             a, b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
-    gr = dot(wr, A_r) - dot(wi, A_i)
-    gi = dot(wr, A_i) + dot(wi, A_r)
-    # the series is the *real* part of the complex screen
-    phi = dot_t(gr, wr) - dot_t(gi, wi)
+    nr = st_ref[0]
+    ni = st_ref[1]
+    for k in range(k_steps):
+        ar, ai = nr, ni
+        nr = ar * pr - ai * pi
+        ni = ar * pi + ai * pr
+        if boiling:
+            shape = nr.shape  # (nlayers*N, N)
+            bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+            i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+            if noise == "uniform":
+                # unit-variance uniforms: exact second-order statistics;
+                # the per-mode AR sum and the 262k-mode screen sum make
+                # higher moments Gaussian by CLT (TEMPORAL_NOISE, conf.py)
+                s3 = np.float32(np.sqrt(3.0))
+                z1 = i1.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+                z2 = i2.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+            else:
+                u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+                u2 = i2.astype(jnp.float32) * (2.0 ** -24)
+                r = jnp.sqrt(-2.0 * jnp.log(u1))
+                theta = (2.0 * np.pi) * u2
+                z1 = r * jnp.cos(theta)
+                z2 = r * jnp.sin(theta)
+            nr = nr + z1 * ns
+            ni = ni + z2 * ns
 
-    pm = pm_ref[:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-    packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi)), 0.0)
-              + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi)), 0.0))
-    out_ref[0] = packed
+        # layer sum via static row slices
+        A_r = nr[0:N]
+        A_i = ni[0:N]
+        for l in range(1, nlayers):
+            A_r = A_r + nr[l * N:(l + 1) * N]
+            A_i = A_i + ni[l * N:(l + 1) * N]
 
-    @pl.when(t == nsteps - 1)
+        gr = dot(wr, A_r) - dot(wi, A_i)
+        gi = dot(wr, A_i) + dot(wi, A_r)
+        # the series is the *real* part of the complex screen
+        phi = dot_t(gr, wr) - dot_t(gi, wi)
+
+        packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi)), 0.0)
+                  + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi)), 0.0))
+        out_ref[k] = packed
+    st_ref[0] = nr
+    st_ref[1] = ni
+
+    @pl.when(t == ngrid - 1)
     def _final():
         afin_ref[...] = st_ref[...]
 
@@ -607,6 +612,10 @@ def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
         LN, N = a0.shape[1:]
         P = wr.shape[0]
         boiling = ns is not None
+        # unroll a few time steps per grid step to amortise per-program
+        # overhead; K divides nsteps (any series length still runs)
+        k_steps = _auto_tile(nsteps, 4)
+        ngrid = nsteps // k_steps
         in_specs = [
             pl.BlockSpec((2, LN, N), lambda t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -629,10 +638,10 @@ def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
         operands += [wr, wi, pm]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nsteps,),
+            grid=(ngrid,),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, 1, _LANE), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((k_steps, 1, _LANE), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, LN, N), lambda t, *_: (0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -640,8 +649,9 @@ def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
             scratch_shapes=[pltpu.VMEM((2, LN, N), jnp.float32)],
         )
         kern = functools.partial(
-            _ar_flow_kernel, nlayers=nlayers, N=N, nsteps=nsteps,
-            boiling=boiling, noise=noise, precision=_PRECISIONS[precision])
+            _ar_flow_kernel, nlayers=nlayers, N=N, ngrid=ngrid,
+            k_steps=k_steps, boiling=boiling, noise=noise,
+            precision=_PRECISIONS[precision])
 
         if boiling:
             def _shim(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,

@@ -185,6 +185,13 @@ def test_interpret_ar_flow_kernel_matches_scan_path():
     np.testing.assert_allclose(
         c[:, 0] + 1j * c[:, 1], np.asarray(out), rtol=5e-3, atol=5e-3)
 
+    # multi-step-per-program unroll (nsteps=8 -> K=4) gives the same series
+    c8, _ = pallas_synth.ar_flow_fused(
+        1, jnp.asarray(a0), jnp.asarray(ph), None, W, pm, 8,
+        interpret=True, precision="highest")
+    np.testing.assert_allclose(np.asarray(c8)[:nsteps], c, rtol=1e-4,
+                               atol=1e-4)
+
 
 def test_colfac_auto_tiling_any_sizes():
     """Batch/column counts that are not multiples of 64 auto-tile down:
