@@ -294,19 +294,21 @@ def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
     ``dx^2 / norm`` downstream. ``subharm_screens`` (from
     :func:`pad_subharm_screens`, (nbatch, 2, P, P)) adds per-screen
     low-order subharmonic phase before the on-chip detector.
+
+    All table arguments may be host numpy (embedded as constants) or
+    traced arrays (e.g. per-configuration tables inside ``shard_map``).
     """
     npup, N = W.shape
     P = _round_up(npup, _LANE)
-    wr = np.zeros((P, N), np.float32)
-    wi = np.zeros((P, N), np.float32)
-    wr[:npup] = np.real(W)
-    wi[:npup] = np.imag(W)
-    pm = np.zeros((P, P), np.float32)
-    pm[:npup, :npup] = np.asarray(pupil_mode, np.float32)
-    s_scaled = np.asarray(sqrt_powerspec, np.float32) * np.float32(df)
+    W = jnp.asarray(W)
+    wr = jnp.pad(jnp.real(W).astype(jnp.float32), ((0, P - npup), (0, 0)))
+    wi = jnp.pad(jnp.imag(W).astype(jnp.float32), ((0, P - npup), (0, 0)))
+    pm = jnp.pad(jnp.asarray(pupil_mode, jnp.float32),
+                 ((0, P - npup), (0, P - npup)))
+    s_scaled = (jnp.asarray(sqrt_powerspec, jnp.float32)
+                * jnp.float32(df))
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    return _fused_detect_call(seed, jnp.asarray(s_scaled), jnp.asarray(wr),
-                              jnp.asarray(wi), jnp.asarray(pm), int(nbatch),
+    return _fused_detect_call(seed, s_scaled, wr, wi, pm, int(nbatch),
                               interpret=interpret, precision=precision,
                               sh=subharm_screens)
 

@@ -31,6 +31,8 @@ def make_mesh(n=None, axis_name="mc", devices=None):
 
 def _build_shard_fn(sim, mesh, nchunks, b_local, axis_name="mc"):
     # reuse the engine's chunk program with a per-device batch size
+    rng_impl = {"threefry": "threefry2x32"}.get(
+        sim.params["RNG"], sim.params["RNG"])
     saved_b = sim.Niter_per_chunk
     sim.Niter_per_chunk = b_local
     try:
@@ -42,7 +44,7 @@ def _build_shard_fn(sim, mesh, nchunks, b_local, axis_name="mc"):
         shard_map, mesh=mesh,
         in_specs=(P(), P(axis_name)), out_specs=P(axis_name))
     def shard_fn(key_data, chi):
-        key = jax.random.wrap_key_data(key_data)
+        key = jax.random.wrap_key_data(key_data, impl=rng_impl)
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         outs = []
         for i in range(nchunks):

@@ -38,6 +38,11 @@ def make_scan_mesh(n_scan, n_mc, devices=None):
 def run_scan_sharded(sims, mesh, seed=None):
     """Run a batch of same-geometry simulations over a ``(scan, mc)`` mesh.
 
+    Supported synthesis paths: ``fft`` / ``matmul`` / ``colfac`` (any
+    backend) and ``pallas_fused`` (TPU — per-configuration tables are
+    traced into the fused kernel inside ``shard_map``). Temporal AR
+    configurations shard one ordered series per configuration.
+
     Args:
         sims: list of initialised :class:`fast_tpu.Fast` objects sharing
             grid geometry (same NPXLS/DX/pupil/NITER; PSDs may differ —
@@ -58,20 +63,22 @@ def run_scan_sharded(sims, mesh, seed=None):
             "(fixed-grid series); the grown-grid 'screens' mode does not "
             "shard over configurations")
     synth_override = None
-    if s0._synth in ("pallas", "pallas_fused", "pallas_colfac"):
+    if s0._synth in ("pallas", "pallas_colfac"):
         if all(s.params.get("SYNTH") == "auto" for s in sims):
-            # the single-chip auto choice is a Pallas kernel, which is not
-            # scan-shardable; scans use the factor-free matmul path
-            logger.info(
-                "auto-selected SYNTH='%s' is not scan-shardable; the scan "
-                "uses SYNTH='matmul' (pass SYNTH explicitly to override)",
-                s0._synth)
             synth_override = "matmul"
         else:
             raise NotImplementedError(
-                "scan sharding supports SYNTH 'fft'|'matmul'|'colfac'; the "
-                "Pallas kernels take their tables as compile-time constants "
-                "— set SYNTH='matmul' (or 'colfac') for scans")
+                "scan sharding supports SYNTH 'fft'|'matmul'|'colfac'|"
+                "'pallas_fused'; the screens-out 'pallas' and the "
+                "factor-table 'pallas_colfac' kernels are not "
+                "scan-shardable — use 'pallas_fused' (or 'colfac')")
+    if s0._synth == "pallas_fused" and jax.default_backend() != "tpu":
+        if all(s.params.get("SYNTH") == "auto" for s in sims):
+            synth_override = "matmul"
+        else:
+            raise NotImplementedError(
+                "SYNTH='pallas_fused' scans need a TPU backend (the fused "
+                "kernel has no CPU lowering); use 'matmul' or 'colfac'")
     for s in sims[1:]:
         if (s.Npxls, s.Npxls_pup, s.Niter, s.Nchunks) != (
                 s0.Npxls, s0.Npxls_pup, s0.Niter, s0.Nchunks):
@@ -105,6 +112,7 @@ def run_scan_sharded(sims, mesh, seed=None):
     # complex tables ship as stacked (real, imag) floats — complex arrays
     # cannot cross program boundaries on all TPU runtimes
     W = s0._W_pruned if synth in ("matmul", "colfac") else None
+    W_pf = s0._W_pruned if synth == "pallas_fused" else None
     dt = np.dtype(str(s0.dtype))
     if synth == "colfac":
         Ls = np.stack([np.asarray(s._L_colfac) for s in sims])
@@ -132,9 +140,28 @@ def run_scan_sharded(sims, mesh, seed=None):
     ])  # (nsims, niter)
 
     local_sims = nsims // n_scan
+    rng_impl = {"threefry": "threefry2x32"}.get(
+        s0.params["RNG"], s0.params["RNG"])
 
     def chunk_body(key, chi_c, sqrt_psd, pm, norm, l2_s, sps_sh):
         kmain, ksub = jax.random.split(key)
+        if synth == "pallas_fused":
+            from ..ops import pallas_synth
+            seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
+            sh = None
+            if subharm:
+                sh = pallas_synth.pad_subharm_screens(
+                    synthesis.synthesize_subharm_complex(
+                        ksub, sps_sh, sh_df, sh_modes, b_local // 2,
+                        crop=crop), pm.shape[0])
+            c = pallas_synth.fused_synthesis_detect(
+                seed, sqrt_psd, df, b_local // 2, W_pf, pm,
+                precision=precision, subharm_screens=sh)
+            pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2)
+            out = jnp.exp(chi_c).astype(jnp.float32) * pc / norm
+            if not coherent:
+                return jnp.abs(out) ** 2
+            return jnp.stack([out.real, out.imag], axis=-1)
         if synth == "colfac":
             L = jax.lax.complex(l2_s[0], l2_s[1])
             scr = synthesis.synthesize_screens_colfac(
@@ -159,9 +186,11 @@ def run_scan_sharded(sims, mesh, seed=None):
         shard_map, mesh=mesh,
         in_specs=(P(), P("scan"), P("scan"), P("scan"), P("scan", "mc"),
                   P(None, "scan"), P("scan")),
-        out_specs=P("scan", "mc"))
+        out_specs=P("scan", "mc"),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=(synth != "pallas_fused"))
     def shard_fn(key_data, sqrt_psd, pm, norm, chi, l2_l, sps_sh_l):
-        key = jax.random.wrap_key_data(key_data)
+        key = jax.random.wrap_key_data(key_data, impl=rng_impl)
         key = jax.random.fold_in(key, jax.lax.axis_index("scan"))
         key = jax.random.fold_in(key, jax.lax.axis_index("mc"))
         outs = []
@@ -263,6 +292,8 @@ def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):
         for i in range(nsims)
     ])  # (nsims, niter)
     local_sims = nsims // n_scan
+    rng_impl = {"threefry": "threefry2x32"}.get(
+        s0.params["RNG"], s0.params["RNG"])
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -271,7 +302,7 @@ def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):
         out_specs=P("scan"))
     def shard_fn(key_data, spd_l, ph2_l, pm_l, norm_l, al_l, s1_l,
                  chi_l):
-        key = jax.random.wrap_key_data(key_data)
+        key = jax.random.wrap_key_data(key_data, impl=rng_impl)
         key = jax.random.fold_in(key, jax.lax.axis_index("scan"))
         outs = []
         for s in range(local_sims):

@@ -121,6 +121,17 @@ def test_temporal_ar_sharded_equals_serial(mesh8):
                                atol=1e-9)
 
 
+def test_scan_sharded_pallas_fused_needs_tpu(mesh8):
+    """Explicit SYNTH='pallas_fused' scans reject loudly off-TPU (the
+    kernel has no CPU lowering); on TPU the fused path is supported."""
+    mesh = parallel.make_scan_mesh(4, 2, devices=mesh8.devices.ravel())
+    sims = [fast_tpu.Fast(make_test_params(
+        NITER=320, NCHUNKS=1, SEED=17, SYNTH="pallas_fused",
+        ZENITH_ANGLE=z)) for z in (30, 40, 50, 60)]
+    with pytest.raises(NotImplementedError, match="TPU backend"):
+        parallel.run_scan_sharded(sims, mesh)
+
+
 def test_temporal_ar_scan_sharded(mesh8):
     """Independent boiling AR series shard over the scan axis: one
     correlated series per configuration, statistics matching a solo run."""
@@ -224,7 +235,7 @@ def test_scan_sharded_rejects_pallas(mesh8):
     sims = [fast_tpu.Fast(make_test_params(
         TEMPORAL=False, NITER=800, NCHUNKS=1, NPXLS=164, SYNTH="pallas",
         ZENITH_ANGLE=z)) for z in (35, 55)]
-    with pytest.raises(NotImplementedError, match="Pallas"):
+    with pytest.raises(NotImplementedError, match="not.*scan-shardable"):
         parallel.run_scan_sharded(sims, scan_mesh)
 
 
