@@ -42,7 +42,9 @@ def _build_shard_fn(sim, mesh, nchunks, b_local, axis_name="mc"):
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(axis_name)), out_specs=P(axis_name))
+        in_specs=(P(), P(axis_name)), out_specs=P(axis_name),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=not sim._synth.startswith("pallas"))
     def shard_fn(key_data, chi):
         key = jax.random.wrap_key_data(key_data, impl=rng_impl)
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
