@@ -233,6 +233,8 @@ class Fast:
                 else "ar"
         if self._temporal_synth not in ("screens", "ar"):
             raise ValueError("TEMPORAL_SYNTH must be 'auto'|'screens'|'ar'")
+        if p.get("TEMPORAL_NOISE", "uniform") not in ("uniform", "gauss"):
+            raise ValueError("TEMPORAL_NOISE must be 'uniform'|'gauss'")
         grow = p["TEMPORAL"] and self._temporal_synth == "screens"
 
         if p["NPXLS"] == "auto":

@@ -193,6 +193,9 @@ class TestARFrozenFlow:
         p = make_test_params(TEMPORAL=True, TEMPORAL_SYNTH="banana")
         with pytest.raises(ValueError, match="TEMPORAL_SYNTH"):
             fast_tpu.Fast(p)
+        p = make_test_params(TEMPORAL=True, TEMPORAL_NOISE="banana")
+        with pytest.raises(ValueError, match="TEMPORAL_NOISE"):
+            fast_tpu.Fast(p)
 
     def test_fused_coupling_path_matches_fft_path(self):
         """Per-step pruned-DFT+detector scan equals the batched-ifft2 AR
