@@ -102,6 +102,13 @@ TPU_DEFAULTS = {
                             # pure frozen flow; 'auto' decorrelates modes
                             # over one grid-wrap time when the series is
                             # long enough to wrap
+    "MC_NOISE": "gauss",    # iid-kernel noise generator ('gauss' =
+                            # Box-Muller; 'mixed' = orthogonally mixed
+                            # uniforms on the MXU: covariance exact by
+                            # orthogonality, per-value excess kurtosis
+                            # -1.2/128 before the screen's own many-block
+                            # sum — validated against 'gauss' incl. fade
+                            # tails; ~2x kernel throughput)
     "TEMPORAL_NOISE": "uniform",  # boiling-noise marginal in the fused AR
                             # kernel: 'uniform' (scaled uniforms — exact
                             # second-order statistics; the ~43-step AR sum

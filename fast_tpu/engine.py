@@ -235,6 +235,8 @@ class Fast:
             raise ValueError("TEMPORAL_SYNTH must be 'auto'|'screens'|'ar'")
         if p.get("TEMPORAL_NOISE", "uniform") not in ("uniform", "gauss"):
             raise ValueError("TEMPORAL_NOISE must be 'uniform'|'gauss'")
+        if p.get("MC_NOISE", "gauss") not in ("gauss", "mixed"):
+            raise ValueError("MC_NOISE must be 'gauss'|'mixed'")
         grow = p["TEMPORAL"] and self._temporal_synth == "screens"
 
         if p["NPXLS"] == "auto":
@@ -615,6 +617,7 @@ class Fast:
         norm = self._norm
         synth = self._synth
         precision = self.params["PRECISION"]
+        mc_noise = self.params.get("MC_NOISE", "gauss")
         W = getattr(self, "_W_pruned", None)
         L = getattr(self, "_L_colfac", None)
         pm = self._pm
@@ -641,11 +644,12 @@ class Fast:
                 if synth == "pallas_colfac":
                     c = pallas_synth.fused_colfac_detect(
                         seed, L, W, pm, B // 2, precision=precision,
-                        subharm_screens=sh)
+                        subharm_screens=sh, noise=mc_noise)
                 else:
                     c = pallas_synth.fused_synthesis_detect(
                         seed, sqrt_psd, df, B // 2, W, pm,
-                        precision=precision, subharm_screens=sh)
+                        precision=precision, subharm_screens=sh,
+                        noise=mc_noise)
                 pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2 / norm)
                 out = jnp.exp(chi).astype(jnp.float32) * pc
                 if not coherent:

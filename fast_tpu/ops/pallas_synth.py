@@ -46,6 +46,18 @@ def _auto_tile(n, cap):
     return t
 
 
+_MIX_CACHE = {}
+
+
+def _mixing_matrix(n):
+    """Fixed deterministic orthogonal mixing matrix (host float64 QR)."""
+    if n not in _MIX_CACHE:
+        rng = np.random.default_rng(0x5EED)
+        q, r = np.linalg.qr(rng.standard_normal((n, n)))
+        _MIX_CACHE[n] = (q * np.sign(np.diag(r))).astype(np.float32)
+    return _MIX_CACHE[n]
+
+
 def _compiler_params(N, P):
     """Raise the VMEM scope for large grids.
 
@@ -154,8 +166,25 @@ def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret,
         [out_r[:, :npup, :npup], out_i[:, :npup, :npup]], axis=0)
 
 
+def _mixed_normals(i1, i2, mix_ref, dot):
+    """Near-Gaussian pair from orthogonally mixed uniforms (MXU).
+
+    Unit-variance uniforms from the 24-bit integers, mixed by a fixed
+    orthogonal matrix along the lane axis: ``z = u @ M``. Second-order
+    statistics are *exact* (M^T M = I up to storage rounding); per-value
+    excess kurtosis is -1.2/m (m = mixing width) before the screen's own
+    many-block sum. Trades the VPU transcendentals of Box-Muller for one
+    MXU dot per component.
+    """
+    s3 = np.float32(np.sqrt(3.0))
+    u1 = i1.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+    u2 = i2.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+    m = mix_ref[:]
+    return dot(u1, m), dot(u2, m)
+
+
 def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
-                         *rest, precision, subharm):
+                         *rest, precision, subharm, mixed):
     """Synthesis + pupil-overlap detector, fully fused.
 
     Like :func:`_synth_kernel` but reduces each screen on-chip to one
@@ -167,31 +196,16 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
 
     With ``subharm`` an extra (1, 2, P, P) block carries this screen
     pair's precomputed low-order subharmonic phase (real, imag), added
-    before the detector's ``exp``.
+    before the detector's ``exp``. With ``mixed`` an extra (N, N)
+    orthogonal matrix turns scaled uniforms into near-Gaussian noise on
+    the MXU instead of Box-Muller on the VPU (see :func:`_mixed_normals`).
     """
-    if subharm:
-        sh_ref, out_ref = rest
-    else:
-        (out_ref,) = rest
+    rest = list(rest)
+    mix_ref = rest.pop(0) if mixed else None
+    sh_ref = rest.pop(0) if subharm else None
+    (out_ref,) = rest
     b = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], b)
-
-    shape = s_ref.shape
-    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
-    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
-    u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
-    u2 = i2.astype(jnp.float32) * (2.0 ** -24)
-
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    theta = (2.0 * np.pi) * u2
-    s = s_ref[:]
-    xr = r * jnp.cos(theta) * s
-    xi = r * jnp.sin(theta) * s
-
-    wr = wr_ref[:]
-    wi = wi_ref[:]
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -204,6 +218,27 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
             a, b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=precision)
+
+    shape = s_ref.shape
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+    s = s_ref[:]
+    if mixed:
+        z1, z2 = _mixed_normals(i1, i2, mix_ref, dot)
+    else:
+        u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+        u2 = i2.astype(jnp.float32) * (2.0 ** -24)
+        r = jnp.sqrt(-2.0 * jnp.log(u1))
+        theta = (2.0 * np.pi) * u2
+        z1 = r * jnp.cos(theta)
+        z2 = r * jnp.sin(theta)
+    xr = z1 * s
+    xi = z2 * s
+
+    wr = wr_ref[:]
+    wi = wi_ref[:]
 
     gr = dot(wr, xr) - dot(wi, xi)
     gi = dot(wr, xi) + dot(wi, xr)
@@ -225,7 +260,7 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
 @functools.partial(jax.jit, static_argnames=("nbatch", "interpret",
                                              "precision"))
 def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
-                       precision="highest", sh=None):
+                       precision="highest", sh=None, mix=None):
     with jax.enable_x64(False):
         N = s_scaled.shape[-1]
         P = wr.shape[0]
@@ -240,6 +275,11 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
                          memory_space=pltpu.VMEM),
         ]
         operands = [seed, s_scaled, wr, wi, pm]
+        if mix is not None:
+            in_specs.append(
+                pl.BlockSpec((N, N), lambda b, *_: (0, 0),
+                             memory_space=pltpu.VMEM))
+            operands.append(mix)
         if sh is not None:
             in_specs.append(
                 pl.BlockSpec((1, 2, P, P), lambda b, *_: (b, 0, 0, 0),
@@ -257,7 +297,8 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
         [out] = pl.pallas_call(
             functools.partial(_synth_detect_kernel,
                               precision=_PRECISIONS[precision],
-                              subharm=sh is not None),
+                              subharm=sh is not None,
+                              mixed=mix is not None),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((nbatch, 1, _LANE), jnp.float32)],
@@ -286,7 +327,7 @@ def pad_subharm_screens(sh_complex, npup):
 
 def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
                            interpret=False, precision="highest",
-                           subharm_screens=None):
+                           subharm_screens=None, noise="gauss"):
     """Monte Carlo couplings straight from the PRNG, one fused kernel.
 
     Returns (2*nbatch, 2) float32: the unnormalised complex coupling
@@ -297,6 +338,8 @@ def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
 
     All table arguments may be host numpy (embedded as constants) or
     traced arrays (e.g. per-configuration tables inside ``shard_map``).
+    ``noise='mixed'`` replaces Box-Muller with orthogonally mixed
+    uniforms on the MXU (see :func:`_mixed_normals`).
     """
     npup, N = W.shape
     P = _round_up(npup, _LANE)
@@ -308,9 +351,10 @@ def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
     s_scaled = (jnp.asarray(sqrt_powerspec, jnp.float32)
                 * jnp.float32(df))
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    mix = jnp.asarray(_mixing_matrix(N)) if noise == "mixed" else None
     return _fused_detect_call(seed, s_scaled, wr, wi, pm, int(nbatch),
                               interpret=interpret, precision=precision,
-                              sh=subharm_screens)
+                              sh=subharm_screens, mix=mix)
 
 
 def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False,
@@ -348,8 +392,8 @@ def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False,
 
 
 def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
-                          sh_ref, out_ref, accr_ref, acci_ref, gr_ref,
-                          gi_ref, *, m_tile, n_mb, precision):
+                          mix_ref, sh_ref, out_ref, accr_ref, acci_ref,
+                          gr_ref, gi_ref, *, m_tile, n_mb, precision):
     """Colfac-basis synthesis + detector, fused with a VMEM accumulator.
 
     Grid (batch_block, col_block); col_block is the inner (sequential)
@@ -373,11 +417,18 @@ def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
         accr_ref[...] = jnp.zeros_like(accr_ref)
         acci_ref[...] = jnp.zeros_like(acci_ref)
 
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
     def draw(shape):
         bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
         i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+        if mix_ref is not None:
+            return _mixed_normals(i1, i2, mix_ref, dot)
         u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
         u2 = i2.astype(jnp.float32) * (2.0 ** -24)
         r = jnp.sqrt(-2.0 * jnp.log(u1))
@@ -442,7 +493,8 @@ def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
 @functools.partial(jax.jit, static_argnames=("nbatch", "b_tile", "m_tile",
                                              "interpret", "precision"))
 def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
-                        interpret=False, precision="default", sh=None):
+                        interpret=False, precision="default", sh=None,
+                        mix=None):
     with jax.enable_x64(False):
         N = l2.shape[1]
         P = l2.shape[2]
@@ -458,6 +510,11 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
                          memory_space=pltpu.VMEM),
         ]
         operands = [seed, l2, w2, pm]
+        if mix is not None:
+            in_specs.append(
+                pl.BlockSpec((P, P), lambda bb, mb, *_: (0, 0),
+                             memory_space=pltpu.VMEM))
+            operands.append(mix)
         if sh is not None:
             # same block across all column steps (fetched once per bb)
             in_specs.append(
@@ -484,17 +541,14 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
             _colfac_detect_kernel, m_tile=m_tile, n_mb=n_mb,
             precision=_PRECISIONS[precision])
 
-        if sh is not None:
-            def _squeeze(seed_ref, l_ref, w_ref, pm_ref, sh_ref, out_ref,
-                         a, b, g1, g2):
-                kern(seed_ref, l_ref.at[0], l_ref.at[1], w_ref.at[0],
-                     w_ref.at[1], pm_ref, sh_ref, out_ref.at[0], a, b, g1,
-                     g2)
-        else:
-            def _squeeze(seed_ref, l_ref, w_ref, pm_ref, out_ref, a, b, g1,
-                         g2):
-                kern(seed_ref, l_ref.at[0], l_ref.at[1], w_ref.at[0],
-                     w_ref.at[1], pm_ref, None, out_ref.at[0], a, b, g1, g2)
+        def _squeeze(seed_ref, l_ref, w_ref, pm_ref, *rest):
+            rest = list(rest)
+            mix_ref = rest.pop(0) if mix is not None else None
+            sh_ref = rest.pop(0) if sh is not None else None
+            out_ref, a, b, g1, g2 = rest
+            kern(seed_ref, l_ref.at[0], l_ref.at[1], w_ref.at[0],
+                 w_ref.at[1], pm_ref, mix_ref, sh_ref, out_ref.at[0], a, b,
+                 g1, g2)
 
         [out] = pl.pallas_call(
             _squeeze,
@@ -730,7 +784,7 @@ def ar_flow_fused(seed, a0, step_phasor_scaled, noise_scale, W, pupil_mode,
 
 def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
                         m_tile=None, interpret=False, precision="default",
-                        subharm_screens=None):
+                        subharm_screens=None, noise="gauss"):
     """Monte Carlo couplings from colfac-basis noise, one fused kernel.
 
     Same distribution as ``synthesize_screens_colfac`` + detector — P*N
@@ -767,7 +821,9 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
     pm = np.zeros((P, P), np.float32)
     pm[:npup, :npup] = np.asarray(pupil_mode, np.float32)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    mix = jnp.asarray(_mixing_matrix(P)) if noise == "mixed" else None
     return _colfac_detect_call(seed, jnp.asarray(l2), jnp.asarray(w2),
                                jnp.asarray(pm), int(nbatch), int(b_tile),
                                int(m_tile), interpret=interpret,
-                               precision=precision, sh=subharm_screens)
+                               precision=precision, sh=subharm_screens,
+                               mix=mix)

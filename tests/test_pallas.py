@@ -193,6 +193,48 @@ def test_interpret_ar_flow_kernel_matches_scan_path():
                                atol=1e-4)
 
 
+def test_interpret_mixed_noise_plumbing():
+    """MC_NOISE='mixed': zero interpreter bits give u = -sqrt(3)
+    everywhere, so z = u @ M is deterministic — validates the orthogonal
+    mixing path against numpy for both detect kernels."""
+    N, lo, hi = 64, 20, 44
+    npup = hi - lo
+    rng = np.random.default_rng(8)
+    sqrt_ps = (rng.random((N, N)) + 0.2).astype(np.float32)
+    df = 0.3
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex64)
+    pm = rng.random((npup, npup)).astype(np.float32)
+
+    c = np.asarray(pallas_synth.fused_synthesis_detect(
+        1, sqrt_ps, df, 2, W, pm, interpret=True, noise="mixed"))
+    M = pallas_synth._mixing_matrix(N)
+    # orthogonality of the mixing matrix itself
+    np.testing.assert_allclose(M @ M.T, np.eye(N), atol=2e-6)
+    z = -np.sqrt(3, dtype=np.float32) * np.ones((N, N), np.float32) @ M
+    X = (z * sqrt_ps * np.float32(df)).astype(np.complex64) * (1 + 1j)
+    scr = np.asarray(W) @ X @ np.asarray(W).T
+    np.testing.assert_allclose(
+        c[0], [(pm * np.cos(scr.real)).sum(), (pm * np.sin(scr.real)).sum()],
+        rtol=5e-3, atol=5e-3)
+
+    # colfac variant: z (b, P) rows all equal -sqrt3 * colsum(M_P)
+    L = (rng.normal(size=(N, npup, npup))
+         + 1j * rng.normal(size=(N, npup, npup))).astype(np.complex64) * 0.01
+    cc = np.asarray(pallas_synth.fused_colfac_detect(
+        3, L, W, pm, 4, interpret=True, noise="mixed"))
+    P = pallas_synth._round_up(npup, 128)
+    MP = pallas_synth._mixing_matrix(P)
+    zrow = -np.sqrt(3) * MP.sum(axis=0)  # (P,)
+    zc = (zrow + 1j * zrow)[:npup]  # same for every column draw
+    # kernel computes G_m = z_m @ L_m^T, i.e. G[:, m] = L_m @ z
+    Gm = np.stack([L[m] @ zc for m in range(N)], axis=-1)  # (npup, N)
+    scr_c = Gm @ np.asarray(W).T
+    phi1 = scr_c.real
+    np.testing.assert_allclose(
+        cc[0], [(pm * np.cos(phi1)).sum(), (pm * np.sin(phi1)).sum()],
+        rtol=5e-3, atol=5e-3)
+
+
 def test_colfac_auto_tiling_any_sizes():
     """Batch/column counts that are not multiples of 64 auto-tile down:
     the tiles become the largest divisors <= the caps, so any NITER/
