@@ -102,13 +102,15 @@ TPU_DEFAULTS = {
                             # pure frozen flow; 'auto' decorrelates modes
                             # over one grid-wrap time when the series is
                             # long enough to wrap
-    "MC_NOISE": "gauss",    # iid-kernel noise generator ('gauss' =
-                            # Box-Muller; 'mixed' = orthogonally mixed
-                            # uniforms on the MXU: covariance exact by
-                            # orthogonality, per-value excess kurtosis
-                            # -1.2/128 before the screen's own many-block
-                            # sum — validated against 'gauss' incl. fade
-                            # tails; ~2x kernel throughput)
+    "MC_NOISE": "mixed",    # iid-kernel noise generator: 'mixed'
+                            # (orthogonally mixed uniforms on the MXU —
+                            # covariance exact by orthogonality, higher
+                            # cumulants suppressed by the 128-way mixing
+                            # and the screen's many-block sum; fade
+                            # quantiles match full-f32 Box-Muller down to
+                            # q=3e-7 at 33.5M samples; +25-50% kernel
+                            # throughput) | 'gauss' (Box-Muller).
+                            # Non-kernel paths always draw Gaussians.
     "TEMPORAL_NOISE": "uniform",  # boiling-noise marginal in the fused AR
                             # kernel: 'uniform' (scaled uniforms — exact
                             # second-order statistics; the ~43-step AR sum
