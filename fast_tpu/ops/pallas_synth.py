@@ -440,14 +440,19 @@ def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
             a, b, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
+    ldt = lr_ref.dtype  # bf16 tables at PRECISION='default' (the MXU
+    gdt = gr_ref.dtype  # rounds inputs to bf16 there anyway); f32 else
+
     def col(m, _):
         # G_m = z_m @ L_m^T, stored at row m of the (m_tile, b_tile, P)
         # scratch — leading-dim dynamic stores are cheap on TPU
         lr = lr_ref[m]
         li = li_ref[m]
         zr, zi = draw((b_tile, P))
-        gr_ref[m] = dot_t(zr, lr) - dot_t(zi, li)   # (b_tile, P)
-        gi_ref[m] = dot_t(zr, li) + dot_t(zi, lr)
+        zr = zr.astype(ldt)
+        zi = zi.astype(ldt)
+        gr_ref[m] = (dot_t(zr, lr) - dot_t(zi, li)).astype(gdt)
+        gi_ref[m] = (dot_t(zr, li) + dot_t(zi, lr)).astype(gdt)
         return 0
 
     jax.lax.fori_loop(0, m_tile, col, 0)
@@ -522,6 +527,7 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
                              lambda bb, mb, *_: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM))
             operands.append(sh)
+        gdt = l2.dtype  # G scratch matches the table dtype
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_bb, n_mb),
@@ -533,8 +539,8 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
             scratch_shapes=[
                 pltpu.VMEM((b_tile, P, P), jnp.float32),
                 pltpu.VMEM((b_tile, P, P), jnp.float32),
-                pltpu.VMEM((m_tile, b_tile, P), jnp.float32),
-                pltpu.VMEM((m_tile, b_tile, P), jnp.float32),
+                pltpu.VMEM((m_tile, b_tile, P), gdt),
+                pltpu.VMEM((m_tile, b_tile, P), gdt),
             ],
         )
         kern = functools.partial(
@@ -804,20 +810,27 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
     """
     ncols, npup, _ = L.shape
     P = _round_up(npup, _LANE)
+    # at PRECISION='default' the MXU rounds its inputs to bf16 anyway, so
+    # the factor tables ship and stream as bf16: half the HBM traffic /
+    # VMEM with identical dot results
+    tdt = np.float32 if precision != "default" else "bfloat16"
+    itemsize = 4 if precision != "default" else 2
     if m_tile is None:
         # HIGHEST-precision (multi-pass) dots need extra VMEM headroom —
         # the whole-tensor block + multi-pass buffers can overflow the
         # compiler's budget, so keep streaming there
         budget = 36e6 if precision == "default" else 0
-        m_tile = ncols if 2 * ncols * P * P * 4 <= budget else 64
+        m_tile = ncols if 2 * ncols * P * P * itemsize <= budget else 64
     b_tile = _auto_tile(nbatch, b_tile)
     m_tile = _auto_tile(ncols, m_tile)
     l2 = np.zeros((2, ncols, P, P), np.float32)
     l2[0, :, :npup, :npup] = np.real(L)
     l2[1, :, :npup, :npup] = np.imag(L)
+    l2 = l2.astype(tdt)
     w2 = np.zeros((2, ncols, P), np.float32)  # W^T: lane dim is P-tiled
     w2[0, :, :npup] = np.real(W).T
     w2[1, :, :npup] = np.imag(W).T
+    w2 = w2.astype(tdt)
     pm = np.zeros((P, P), np.float32)
     pm[:npup, :npup] = np.asarray(pupil_mode, np.float32)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)

@@ -75,7 +75,8 @@ def test_interpret_colfac_detect_deterministic():
          + 1j * rng.normal(size=(N, npup, npup))).astype(np.complex64) * 0.01
     W = synthesis.pruned_ift2_matrix(N, 20, 44, dtype=np.complex64)
     pm = rng.random((npup, npup)).astype(np.float32)
-    c = pallas_synth.fused_colfac_detect(3, L, W, pm, 128, interpret=True)
+    c = pallas_synth.fused_colfac_detect(3, L, W, pm, 128, interpret=True,
+                                         precision="highest")
     assert c.shape == (256, 2)
 
     r0 = np.float32(np.sqrt(-2 * np.log(np.float32(2.0 ** -25))))
@@ -130,7 +131,8 @@ def test_interpret_subharm_add_in_detect_kernels():
     L = (rng.normal(size=(N, npup, npup))
          + 1j * rng.normal(size=(N, npup, npup))).astype(np.complex64) * 0.01
     cc = np.asarray(pallas_synth.fused_colfac_detect(
-        3, L, W, pm, nbatch, interpret=True, subharm_screens=sh))
+        3, L, W, pm, nbatch, interpret=True, subharm_screens=sh,
+        precision="highest"))
     G = r0 * L.sum(axis=2).T
     scr_c = G @ np.asarray(W).T
     for b in range(nbatch):
@@ -221,7 +223,8 @@ def test_interpret_mixed_noise_plumbing():
     L = (rng.normal(size=(N, npup, npup))
          + 1j * rng.normal(size=(N, npup, npup))).astype(np.complex64) * 0.01
     cc = np.asarray(pallas_synth.fused_colfac_detect(
-        3, L, W, pm, 4, interpret=True, noise="mixed"))
+        3, L, W, pm, 4, interpret=True, noise="mixed",
+        precision="highest"))
     P = pallas_synth._round_up(npup, 128)
     MP = pallas_synth._mixing_matrix(P)
     zrow = -np.sqrt(3) * MP.sum(axis=0)  # (P,)
@@ -248,7 +251,8 @@ def test_colfac_auto_tiling_any_sizes():
     pm = rng.random((npup, npup)).astype(np.float32)
     for nbatch in (56, 10, 7):  # 56 -> b_tile 56; 10 -> 10; 7 (prime) -> 7
         c = pallas_synth.fused_colfac_detect(3, L, W, pm, nbatch,
-                                             interpret=True)
+                                             interpret=True,
+                                             precision="highest")
         assert c.shape == (2 * nbatch, 2)
         # same deterministic plumbing identity as the divisible case
         r0 = np.float32(np.sqrt(-2 * np.log(np.float32(2.0 ** -25))))
