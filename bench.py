@@ -103,7 +103,7 @@ def main():
     sim_t = fast_tpu.Fast(g._flagship_params(
         npxls=256, niter=16384, nchunks=64, RNG="rbg", TEMPORAL=True,
         TEMPORAL_SYNTH="ar", DT=0.001))
-    best_t = measure_rps(sim_t, 16384, rep_sets=3, reps=1, temporal=True)
+    best_t = measure_rps(sim_t, 16384, rep_sets=5, reps=1, temporal=True)
 
     print(json.dumps({
         "metric": "mc_realizations_per_sec_256sq_chip",
