@@ -825,10 +825,13 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
             return (2 * b * P * P * 4          # f32 screen accumulators
                     + 2 * m * b * P * itemsize  # G scratch
                     + 2 * m * P * P * itemsize)  # factor block
-        for b_c, m_c in ((128, ncols), (64, ncols), (128, 64), (64, 64)):
+        for b_c, m_c in ((128, ncols), (64, ncols), (128, 64), (64, 64),
+                         (32, 64), (16, 64), (8, 64)):
             if vmem(b_c, m_c) <= 55e6:
                 b_tile, m_tile = b_c, m_c
                 break
+        else:  # huge pupils: smallest tiles, let the compiler arbitrate
+            b_tile, m_tile = 8, 8
     elif m_tile is None:
         # HIGHEST-precision (multi-pass) dots need extra VMEM headroom —
         # keep the small streaming tiles there
