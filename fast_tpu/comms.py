@@ -272,7 +272,21 @@ class Modulator:
         self._evm = float(evm)
         r, i = np.asarray(r), np.asarray(i)
         self.recv_signal = r if kind == "ook" else r + 1j * i
-        self.awgn = 0 if not noisy else None  # noise lives device-side
+        self._noisy = noisy
+
+    @property
+    def awgn(self):
+        """The AWGN realisation added to the stream (reference parity).
+
+        Recovered as ``recv - tx`` (the kernel adds the noise on-device;
+        ``fast/comms.py:78-86`` exposes the drawn array). 0 when noiseless.
+        """
+        if not getattr(self, "_noisy", False):
+            return 0
+        tx = self.constellation[self.symbols]
+        if self._kind == "ook":
+            tx = tx.real
+        return self.recv_signal - tx
 
     def demodulate(self):
         if self.modulation is None:

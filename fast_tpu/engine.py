@@ -504,6 +504,11 @@ class Fast:
                 self.cn2, self.wvl, self.pupil_filter_temporal,
                 float(freq.main.dfy), L0=self.L0, l0=self.l0)
 
+        # failure detection (SURVEY.md §5.3): a corrupted configuration
+        # (NaN/negative PSD, bad masks) fails loudly here instead of
+        # flowing silently into the Monte Carlo program
+        self.validate()
+
     # ------------------------------------------------------------------
     # Monte Carlo run
     # ------------------------------------------------------------------
@@ -815,7 +820,16 @@ class Fast:
             W = synthesis.pruned_ift2_matrix(
                 self.Npxls, *self.pup_crop, dtype=np.complex64)
             C["w2"] = np.stack([W.real, W.imag]).astype(dt_np)
-            if jax.default_backend() == "tpu":
+            # VMEM feasibility of the fused kernel: four (2, L*N, N) f32
+            # buffers (a0/ph in, state scratch, final state out) + the
+            # noise table + W/pm must be simultaneously resident
+            # (mirrors the sizing in ops/pallas_synth._ar_flow_call)
+            L_layers = len(self.h)
+            N = self.Npxls
+            P = -(-self.Npxls_pup // 128) * 128
+            vmem_need = ((4 * 2 * L_layers * N + 3 * P) * N
+                         + 2 * P * P) * 4
+            if jax.default_backend() == "tpu" and vmem_need < 100e6:
                 # fully fused Pallas kernel: the AR state lives in VMEM
                 # scratch for the whole series, boiling noise from the
                 # on-chip PRNG, per-step HBM traffic is two floats
@@ -826,6 +840,11 @@ class Fast:
                 if np.any(self._ar_alpha < 1.0):
                     C["ns"] = (sqrt1ma[:, None, None]
                                * np.float64(sqrt_psd_df)).astype(dt_np)
+            elif jax.default_backend() == "tpu":
+                logger.info(
+                    "AR state (%d layers x %d^2) needs ~%.0f MB VMEM — "
+                    "beyond the fused kernel's budget; using the per-step "
+                    "matmul scan path", L_layers, N, vmem_need / 1e6)
         import functools as _ft
         return _ft.partial(
             _run_all_temporal_ar, C=C, nchunks=self.Nchunks,
@@ -843,6 +862,11 @@ class Fast:
         device program.
         """
         with self.profile.stage("mc_run"):
+            if progress and self.temporal:
+                logger.warning(
+                    "progress=True is not supported in TEMPORAL mode (the "
+                    "series runs as one fused device program); running "
+                    "without a progress bar")
             if progress and not self.temporal:
                 return self._run_progress()
             return self._run()
@@ -891,6 +915,12 @@ class Fast:
                        if self._temporal_synth == "ar"
                        else self._run_all_fn_temporal())
             I = self._combine_complex(run_all(key_logamp, key_scr), coherent)
+        if not np.isfinite(I).all():
+            raise FloatingPointError(
+                "Monte Carlo run produced non-finite iterates "
+                f"({np.count_nonzero(~np.isfinite(I))}/{I.size}); "
+                "check the configuration (validate() passed, so this "
+                "points at a synthesis-path numerical problem)")
         self.result = FastResult(I, self.diffraction_limit)
         self.I = self.result.power  # backwards compatibility
         logger.info(self.result)
@@ -974,6 +1004,12 @@ class Fast:
         if key is None:
             key = make_key(self.seed, impl=self.params["RNG"])
             _, key, _ = jax.random.split(key, 3)
+        if self._temporal_synth == "ar":
+            # reflect the actual run path: evolve the AR(1)-in-Fourier
+            # state to this chunk's window, then the exact centered ifft2
+            # (the run itself reduces each screen on-chip; this diagnostic
+            # materialises them)
+            return self._compute_phs_temporal_ar(chunk, key)
         screens = synthesis.synthesize_layer_screens(
             key, jnp.asarray(self._sqrt_psd_layers),
             float(self.freq.main.df))
@@ -985,6 +1021,43 @@ class Fast:
         cols = base0[:, 1] + chunk * shift[:, 1, None, None]
         self.phs = np.asarray(synthesis.sample_frozen_flow(
             screens, jnp.asarray(rows), jnp.asarray(cols)))
+        return self.phs
+
+    def _compute_phs_temporal_ar(self, chunk, key):
+        """AR-mode trajectory sampling backing :meth:`compute_phs_temporal`.
+
+        Same AR(1)-in-Fourier recursion as the run path
+        (:func:`synthesis.ar_flow_series`), stepped chunk-by-chunk from the
+        series start so ``chunk=k`` returns the k-th window of one
+        consistent trajectory.
+        """
+        dt = np.dtype(str(self.dtype))
+        cdt = np.complex64 if dt == np.float32 else np.complex128
+        sqrt_psd_df = jnp.asarray(
+            (self._sqrt_psd_layers
+             * np.float64(self.freq.main.df)).astype(dt))
+        v = np.asarray(self.wind_vector, np.float64)
+        fxm = np.asarray(self.freq.main.fx, np.float64)
+        fym = np.asarray(self.freq.main.fy, np.float64)
+        phase = (fxm[None] * v[:, 0, None, None]
+                 + fym[None] * v[:, 1, None, None]) * float(self.dt)
+        phase = np.angle(np.exp(1j * phase))
+        step_phasor = jnp.asarray(np.exp(1j * phase).astype(cdt))
+        alpha = jnp.asarray(self._ar_alpha)[:, None, None]
+        sqrt1ma = jnp.sqrt(jnp.maximum(
+            0.0, 1.0 - alpha.astype(jnp.float64) ** 2)).astype(dt)
+        boiling = bool(np.any(np.asarray(self._ar_alpha) < 1.0))
+        kinit, knoise = jax.random.split(key)
+        a = synthesis.complex_normal(
+            kinit, sqrt_psd_df.shape, dtype=cdt) * sqrt_psd_df
+        B = self.Niter_per_chunk
+        lo, hi = self.pup_crop
+        A = None
+        for _ in range(chunk + 1):
+            a, knoise, A = synthesis.ar_flow_series(
+                a, knoise, step_phasor, sqrt_psd_df, alpha, sqrt1ma, B,
+                boiling)
+        self.phs = np.asarray(ift2(A, 1.0).real[:, lo:hi, lo:hi])
         return self.phs
 
     def compute_detector(self, chunk=0):

@@ -16,12 +16,15 @@ wrapper.
 """
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+logger = logging.getLogger(__name__)
 
 _LANE = 128
 
@@ -32,6 +35,24 @@ _PRECISIONS = {
     "high": jax.lax.Precision.HIGHEST,
     "default": jax.lax.Precision.DEFAULT,  # single-pass bf16
 }
+
+_warned_high = False
+
+
+def _precision(name):
+    """Resolve a PRECISION config value to a Mosaic-legal dot precision.
+
+    Warns once when 'high' (bf16x3 in the XLA paths) silently promotes to
+    HIGHEST inside Pallas kernels — same config key, stricter semantics.
+    """
+    global _warned_high
+    if name == "high" and not _warned_high:
+        _warned_high = True
+        logger.warning(
+            "PRECISION='high' promotes to 'highest' inside Pallas kernels "
+            "(Mosaic lowers only DEFAULT/HIGHEST dots); the XLA paths use "
+            "bf16x3 for the same key")
+    return _PRECISIONS[name]
 
 
 def _round_up(x, m):
@@ -149,7 +170,7 @@ def _fused_call_32(seed, s_scaled, wr, wi, nbatch, npup, interpret,
     )
     out_r, out_i = pl.pallas_call(
         functools.partial(_synth_kernel,
-                          precision=_PRECISIONS[precision]),
+                          precision=_precision(precision)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nbatch, P, P), jnp.float32),
@@ -296,7 +317,7 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
         )
         [out] = pl.pallas_call(
             functools.partial(_synth_detect_kernel,
-                              precision=_PRECISIONS[precision],
+                              precision=_precision(precision),
                               subharm=sh is not None,
                               mixed=mix is not None),
             grid_spec=grid_spec,
@@ -343,15 +364,26 @@ def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
     """
     npup, N = W.shape
     P = _round_up(npup, _LANE)
-    W = jnp.asarray(W)
-    wr = jnp.pad(jnp.real(W).astype(jnp.float32), ((0, P - npup), (0, 0)))
-    wi = jnp.pad(jnp.imag(W).astype(jnp.float32), ((0, P - npup), (0, 0)))
-    pm = jnp.pad(jnp.asarray(pupil_mode, jnp.float32),
-                 ((0, P - npup), (0, P - npup)))
-    s_scaled = (jnp.asarray(sqrt_powerspec, jnp.float32)
-                * jnp.float32(df))
+    if isinstance(W, np.ndarray):
+        # host tables split/pad in numpy: a complex jnp.asarray would be a
+        # device transfer, which the axon TPU runtime cannot do (complex
+        # arrays cannot cross program boundaries); inside jit the numpy
+        # floats embed as constants
+        wr = np.pad(np.real(W).astype(np.float32), ((0, P - npup), (0, 0)))
+        wi = np.pad(np.imag(W).astype(np.float32), ((0, P - npup), (0, 0)))
+    else:  # traced (e.g. per-configuration tables inside shard_map)
+        W = jnp.asarray(W)
+        wr = jnp.pad(jnp.real(W).astype(jnp.float32),
+                     ((0, P - npup), (0, 0)))
+        wi = jnp.pad(jnp.imag(W).astype(jnp.float32),
+                     ((0, P - npup), (0, 0)))
+    xp = np if isinstance(pupil_mode, np.ndarray) else jnp
+    pm = xp.pad(xp.asarray(pupil_mode, xp.float32),
+                ((0, P - npup), (0, P - npup)))
+    xp = np if isinstance(sqrt_powerspec, np.ndarray) else jnp
+    s_scaled = xp.asarray(sqrt_powerspec, xp.float32) * xp.float32(df)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    mix = jnp.asarray(_mixing_matrix(N)) if noise == "mixed" else None
+    mix = _mixing_matrix(N) if noise == "mixed" else None
     return _fused_detect_call(seed, s_scaled, wr, wi, pm, int(nbatch),
                               interpret=interpret, precision=precision,
                               sh=subharm_screens, mix=mix)
@@ -393,7 +425,8 @@ def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False,
 
 def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
                           mix_ref, sh_ref, out_ref, accr_ref, acci_ref,
-                          gr_ref, gi_ref, *, m_tile, n_mb, precision):
+                          gr_ref, gi_ref, *, m_tile, n_mb, precision,
+                          premixed=False):
     """Colfac-basis synthesis + detector, fused with a VMEM accumulator.
 
     Grid (batch_block, col_block); col_block is the inner (sequential)
@@ -427,6 +460,13 @@ def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
         bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
         i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+        if premixed:
+            # unit-variance uniforms; the orthogonal mix is folded into
+            # the factor tables (colfac_pack_tables(noise='mixed')), so
+            # no mixing dot is spent here — same random variables
+            s3 = np.float32(np.sqrt(3.0))
+            return (i1.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3,
+                    i2.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3)
         if mix_ref is not None:
             return _mixed_normals(i1, i2, mix_ref, dot)
         u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
@@ -496,10 +536,11 @@ def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("nbatch", "b_tile", "m_tile",
-                                             "interpret", "precision"))
+                                             "interpret", "precision",
+                                             "premixed"))
 def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
                         interpret=False, precision="default", sh=None,
-                        mix=None):
+                        mix=None, premixed=False):
     with jax.enable_x64(False):
         N = l2.shape[1]
         P = l2.shape[2]
@@ -545,7 +586,7 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
         )
         kern = functools.partial(
             _colfac_detect_kernel, m_tile=m_tile, n_mb=n_mb,
-            precision=_PRECISIONS[precision])
+            precision=_precision(precision), premixed=premixed)
 
         def _squeeze(seed_ref, l_ref, w_ref, pm_ref, *rest):
             rest = list(rest)
@@ -713,7 +754,7 @@ def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
         kern = functools.partial(
             _ar_flow_kernel, nlayers=nlayers, N=N, ngrid=ngrid,
             k_steps=k_steps, boiling=boiling, noise=noise,
-            precision=_PRECISIONS[precision])
+            precision=_precision(precision))
 
         if boiling:
             def _shim(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
@@ -788,15 +829,9 @@ def ar_flow_fused(seed, a0, step_phasor_scaled, noise_scale, W, pupil_mode,
     return out, a_final
 
 
-def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
-                        m_tile=None, interpret=False, precision="default",
-                        subharm_screens=None, noise="gauss"):
-    """Monte Carlo couplings from colfac-basis noise, one fused kernel.
-
-    Same distribution as ``synthesize_screens_colfac`` + detector — P*N
-    normals per screen instead of N^2 — with the factors streamed
-    block-by-block through VMEM and screens accumulated on-chip (never in
-    HBM). Returns (2*nbatch, 2) float32 unnormalised couplings.
+def colfac_tile_select(nbatch, ncols, npup, precision, b_tile=64,
+                       m_tile=None):
+    """Static (b_tile, m_tile) selection for the colfac kernel.
 
     ``b_tile``/``m_tile`` are caps: the actual tiles are the largest
     divisors of ``nbatch`` / ``ncols`` not exceeding them, so any batch
@@ -804,16 +839,9 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
     ``m_tile=None`` auto-sizes: when the whole padded factor tensor fits
     a ~36 MB VMEM block it is loaded once (``m_tile=ncols``; measured
     +6% at 256^2 vs streaming in 64-column blocks), else 64-column
-    streaming. ``subharm_screens`` (from :func:`pad_subharm_screens`,
-    (nbatch, 2, P, P)) adds per-screen low-order subharmonic phase
-    before the on-chip detector.
+    streaming.
     """
-    ncols, npup, _ = L.shape
     P = _round_up(npup, _LANE)
-    # at PRECISION='default' the MXU rounds its inputs to bf16 anyway, so
-    # the factor tables ship and stream as bf16: half the HBM traffic /
-    # VMEM with identical dot results
-    tdt = np.float32 if precision != "default" else "bfloat16"
     itemsize = 4 if precision != "default" else 2
     if m_tile is None and precision == "default":
         # joint (b_tile, m_tile) auto-selection under a VMEM budget:
@@ -836,22 +864,80 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
         # HIGHEST-precision (multi-pass) dots need extra VMEM headroom —
         # keep the small streaming tiles there
         m_tile = 64
-    b_tile = _auto_tile(nbatch, b_tile)
-    m_tile = _auto_tile(ncols, m_tile)
+    return _auto_tile(nbatch, b_tile), _auto_tile(ncols, m_tile)
+
+
+def colfac_pack_tables(L, W, precision, noise="gauss"):
+    """Pad/split the complex colfac tables for the kernel (host numpy).
+
+    At PRECISION='default' the MXU rounds its inputs to bf16 anyway, so
+    the factor tables ship and stream as bf16: half the HBM traffic /
+    VMEM with identical dot results. With ``noise='mixed'`` the fixed
+    orthogonal mixing matrix is *folded into the factors*
+    (``z @ L^T = (u @ M) @ L^T = u @ (M L^T)``): the kernel then draws
+    raw unit-variance uniforms and spends no mixing dot — identical
+    random variables, ~20% fewer kernel FLOPs. Returns ``(l2, w2)``:
+    (2, ncols, P, P) factors and (2, ncols, P) transposed DFT columns.
+    """
+    ncols, npup, _ = L.shape
+    P = _round_up(npup, _LANE)
+    tdt = np.float32 if precision != "default" else "bfloat16"
     l2 = np.zeros((2, ncols, P, P), np.float32)
     l2[0, :, :npup, :npup] = np.real(L)
     l2[1, :, :npup, :npup] = np.imag(L)
-    l2 = l2.astype(tdt)
+    if noise == "mixed":
+        # kernel computes z @ l2[c, m]^T; fold the lane-mix into the table
+        mt = _mixing_matrix(P).astype(np.float64).T
+        l2 = np.einsum("cmpq,qr->cmpr", l2.astype(np.float64), mt)
     w2 = np.zeros((2, ncols, P), np.float32)  # W^T: lane dim is P-tiled
     w2[0, :, :npup] = np.real(W).T
     w2[1, :, :npup] = np.imag(W).T
-    w2 = w2.astype(tdt)
-    pm = np.zeros((P, P), np.float32)
-    pm[:npup, :npup] = np.asarray(pupil_mode, np.float32)
+    return l2.astype(tdt), w2.astype(tdt)
+
+
+def fused_colfac_detect_packed(seed, l2, w2, pupil_mode, nbatch, b_tile,
+                               m_tile, interpret=False, precision="default",
+                               subharm_screens=None, noise="gauss"):
+    """Traced-table colfac kernel entry (e.g. inside ``shard_map``).
+
+    ``l2``/``w2`` from :func:`colfac_pack_tables` **with the same
+    ``noise`` argument** (may be traced arrays — per-configuration
+    factors streamed through a mesh); ``pupil_mode`` is the *unpadded*
+    (npup, npup) table, padded here (cheap, trace-safe). Tile sizes come
+    from :func:`colfac_tile_select` (host-static). With 'mixed' noise the
+    mix lives in the tables (premixed kernel — no mixing dot).
+    """
+    P = l2.shape[-1]
+    npup = pupil_mode.shape[0]
+    xp = np if isinstance(pupil_mode, np.ndarray) else jnp
+    pm = xp.pad(xp.asarray(pupil_mode, xp.float32),
+                ((0, P - npup), (0, P - npup)))
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
-    mix = jnp.asarray(_mixing_matrix(P)) if noise == "mixed" else None
-    return _colfac_detect_call(seed, jnp.asarray(l2), jnp.asarray(w2),
-                               jnp.asarray(pm), int(nbatch), int(b_tile),
+    return _colfac_detect_call(seed, l2, w2, pm, int(nbatch), int(b_tile),
                                int(m_tile), interpret=interpret,
                                precision=precision, sh=subharm_screens,
-                               mix=mix)
+                               mix=None, premixed=(noise == "mixed"))
+
+
+def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
+                        m_tile=None, interpret=False, precision="default",
+                        subharm_screens=None, noise="gauss"):
+    """Monte Carlo couplings from colfac-basis noise, one fused kernel.
+
+    Same distribution as ``synthesize_screens_colfac`` + detector — P*N
+    normals per screen instead of N^2 — with the factors streamed
+    block-by-block through VMEM and screens accumulated on-chip (never in
+    HBM). Returns (2*nbatch, 2) float32 unnormalised couplings.
+
+    Tile selection per :func:`colfac_tile_select`. ``subharm_screens``
+    (from :func:`pad_subharm_screens`, (nbatch, 2, P, P)) adds per-screen
+    low-order subharmonic phase before the on-chip detector.
+    """
+    ncols, npup, _ = L.shape
+    b_tile, m_tile = colfac_tile_select(nbatch, ncols, npup, precision,
+                                        b_tile, m_tile)
+    l2, w2 = colfac_pack_tables(L, W, precision, noise=noise)
+    return fused_colfac_detect_packed(
+        seed, jnp.asarray(l2), jnp.asarray(w2), np.asarray(pupil_mode),
+        nbatch, b_tile, m_tile, interpret=interpret, precision=precision,
+        subharm_screens=subharm_screens, noise=noise)
