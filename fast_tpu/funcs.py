@@ -27,38 +27,38 @@ from .synthesis import draw_logamp
 from .models.scintillation import PupilFilterSampler
 
 
+def _freq_tuple(axis):
+    """Reference-shaped ``(fx, fy, fabs, axis)`` tuple from a 1-D axis.
+
+    One meshing expression shared by every ``f_grid_*`` constructor — the
+    constructors differ only in how they build the axis.
+    """
+    fx, fy = np.meshgrid(axis, axis)
+    return fx, fy, np.hypot(fx, fy), axis
+
+
 def f_grid_linear(L0, l0, max_size=1024):
     """Linearly spaced frequency grid bounded by outer/inner scale."""
     df = 2 * np.pi / L0
-    fmax = 2 * 5.92 / l0
-    N = 2 * fmax / df + 1
-    if N > max_size:
+    fmax = 2 * 5.92 / l0  # inner-scale cutoff ``km = 5.92/l0``, doubled
+    if 2 * fmax / df + 1 > max_size:
         fmax = max_size * df / 2
-    f = np.arange(-fmax, fmax, df)
-    fx, fy = np.meshgrid(f, f)
-    return fx, fy, np.sqrt(fx ** 2 + fy ** 2), f
+    return _freq_tuple(np.arange(-fmax, fmax, df))
 
 
 def f_grid_dx(N, dx):
-    """Frequency grid from real-space size and sampling."""
-    df = 2 * np.pi / (N * dx)
-    f = np.arange(-N / 2.0, N / 2.0) * df
-    fx, fy = np.meshgrid(f, f)
-    return fx, fy, np.sqrt(fx ** 2 + fy ** 2), fx[0]
+    """Frequency grid from real-space size and sampling (the main-grid rule)."""
+    from .grids import _centered_axis
+    return _freq_tuple(_centered_axis(N, 2 * np.pi / (N * dx)))
 
 
 def f_grid_log(L0, l0, N=129, include_0=True):
-    """Logarithmically spaced frequency grid."""
-    n_one_side = int(N / 2) if N % 2 == 0 else int((N - 1) / 2)
-    fmin = 0.5 * (2 * np.pi) / L0
-    fmax = 2 * (2 * np.pi) / l0
-    f_one_side = np.logspace(np.log10(fmin), np.log10(fmax), n_one_side)
-    if include_0:
-        f = np.hstack([-f_one_side[::-1], 0, f_one_side])
-    else:
-        f = np.hstack([-f_one_side[::-1], f_one_side])
-    fx, fy = np.meshgrid(f, f)
-    return fx, fy, np.sqrt(fx ** 2 + fy ** 2), f
+    """Logarithmically spaced frequency grid between pi/L0 and 4*pi/l0."""
+    half = N // 2 if N % 2 == 0 else (N - 1) // 2
+    side = np.logspace(np.log10(np.pi / L0), np.log10(4 * np.pi / l0), half)
+    parts = ([-side[::-1], [0.0], side] if include_0
+             else [-side[::-1], side])
+    return _freq_tuple(np.concatenate(parts))
 
 
 def calc_gaussian_beam_parameters(z, F_0, W_0, wvl):

@@ -63,62 +63,77 @@ def gaussian2d(size, width, amplitude=1.0, cent=None):
     )
 
 
+def _fit_columns(arr, Ny):
+    """Symmetrically pad or crop the column axis of ``arr`` to ``Ny``."""
+    Nx = arr.shape[1]
+    if (Ny - Nx) % 2:
+        raise ValueError("(Ny - Nx) must be even for a symmetric refit")
+    half = abs(Ny - Nx) // 2
+    if Ny > Nx:
+        return np.pad(arr, [(0, 0), (half, half)])
+    if Ny < Nx:
+        return arr[:, half:Nx - half]
+    return arr
+
+
 def compute_pupil(N, dx, D, obsc=0, Ny=None):
     """Annular aperture normalised to unit energy (``sum * dx^2 == 1``).
 
-    Optional asymmetric padding/cropping of the second axis to ``Ny``
-    columns (used by the temporal-mode pupil filter; reference
-    ``fast/funcs.py:261-277``).
+    Optional symmetric padding/cropping of the second axis to ``Ny``
+    columns (used by the temporal-mode pupil filter). Reference semantics:
+    ``fast/funcs.py:261-277``.
     """
-    circ_ap = circle(D / dx / 2, N) - circle(obsc / dx / 2, N)
-
+    annulus = circle(D / dx / 2, N) - circle(obsc / dx / 2, N)
     if Ny is not None:
-        Nx = N
-        assert ((Ny - Nx) % 2) == 0, "(Nx-Ny)/2 must be even"
-        if Ny > Nx:
-            npad = (Ny - Nx) // 2
-            circ_ap = np.pad(circ_ap, [(0, 0), (npad, npad)])
-        if Ny < Nx:
-            ncut = (Nx - Ny) // 2
-            circ_ap = circ_ap[:, ncut:-ncut]
+        annulus = _fit_columns(annulus, Ny)
+    return annulus / np.sqrt(annulus.sum() * dx ** 2)
 
-    return circ_ap / np.sqrt(circ_ap.sum() * dx ** 2)
+
+def gaussian_mode_field(shape, W0, dx):
+    """Unit-power Gaussian amplitude field: peak intensity ``2/(pi W0^2)``.
+
+    The one normalisation used everywhere a Gaussian fibre/launch mode
+    appears (mode construction, coupling loss, waist optimisation).
+    """
+    return gaussian2d(shape, W0 / dx / np.sqrt(2)) * np.sqrt(
+        2.0 / (np.pi * W0 ** 2))
+
+
+def _axicon_ring_field(shape, W0, dx, D, obsc):
+    """Unit-power annular ('axicon') ring mode centred between the radii."""
+    Nx, Ny = shape
+    x = np.arange(-Nx / 2, Nx / 2) * dx
+    y = np.arange(-Ny / 2, Ny / 2) * dx
+    r = np.hypot(x[:, None], y[None, :])
+    midpt = (obsc / 2 + D / 2) / 2
+    ring = np.exp(-((r - midpt) ** 2) / W0 ** 2)
+    return ring / np.sqrt((ring ** 2).sum() * dx ** 2)
 
 
 def compute_gaussian_mode(pupil, dx, W0=None, D=None, obsc=None, ptype="gauss"):
     """Gaussian (or axicon ring) launch/receive mode.
 
     ``W0 == 'opt'`` optimises the waist for maximum fibre coupling against
-    ``pupil``. Returns ``(mode, W0)``. Amplitude normalisation matches the
-    reference (``fast/funcs.py:280-305``): peak intensity ``2/(pi W0^2)``,
-    divided by ``pupil.max()`` so that ``pupil * mode`` carries the mode
-    amplitude unweighted by the pupil's own energy normalisation.
+    ``pupil``. Returns ``(mode, W0)``. Amplitude semantics as the reference
+    (``fast/funcs.py:280-305``): unit-power field divided by
+    ``pupil.max()`` so that ``pupil * mode`` carries the mode amplitude
+    unweighted by the pupil's own energy normalisation.
     """
-    Nx, Ny = pupil.shape
-
+    want_opt = isinstance(W0, str) and W0 == "opt"
     if ptype == "gauss":
-        if isinstance(W0, str) and W0 == "opt":
-            g, opt = optimize_fibre(pupil, dx, return_size=True)
-            logger.debug("Optimised gaussian size: %s", opt)
-            return g / pupil.max(), opt
-        I0 = 2 / (np.pi * W0 ** 2)
-        g = gaussian2d((Nx, Ny), W0 / dx / np.sqrt(2)) * np.sqrt(I0)
-        return g / pupil.max(), W0
-
-    if ptype == "axicon":
-        if isinstance(W0, str) and W0 == "opt":
+        if want_opt:
+            field, W0 = optimize_fibre(pupil, dx, return_size=True)
+            logger.debug("Optimised gaussian size: %s", W0)
+        else:
+            field = gaussian_mode_field(pupil.shape, W0, dx)
+    elif ptype == "axicon":
+        if want_opt:
             raise TypeError(
                 "Using 'axicon' and W0='opt' not supported, please set W0")
-        x = np.arange(-Nx / 2, Nx / 2, 1) * dx
-        y = np.arange(-Ny / 2, Ny / 2, 1) * dx
-        xx, yy = np.meshgrid(y, x)
-        r = np.sqrt(xx ** 2 + yy ** 2)
-        midpt = obsc / 2 + (D / 2 - obsc / 2) / 2
-        ring = np.exp(-((r - midpt) ** 2) / W0 ** 2)
-        P = (ring ** 2).sum() * dx ** 2
-        return ring / np.sqrt(P) / pupil.max(), W0
-
-    raise Exception('ptype must be one of "gauss" or "axicon"')
+        field = _axicon_ring_field(pupil.shape, W0, dx, D, obsc)
+    else:
+        raise Exception('ptype must be one of "gauss" or "axicon"')
+    return field / pupil.max(), W0
 
 
 def _np_ft2(g, delta):
@@ -139,39 +154,35 @@ def pupil_filter(pupil):
 
 def coupling_loss(W, N, pupil, dx):
     """1 - coupling efficiency of a Gaussian mode of waist ``W`` into ``pupil``."""
-    fibre_field = gaussian2d(N, W / dx / np.sqrt(2)) * np.sqrt(
-        2.0 / (np.pi * W ** 2))
-    coupling = np.abs((fibre_field * pupil).sum() * dx ** 2) ** 2
-    return 1 - coupling
+    overlap = (gaussian_mode_field(N, W, dx) * pupil).sum() * dx ** 2
+    return 1 - np.abs(overlap) ** 2
 
 
 def optimize_fibre(pupil, dx, size_min=None, size_max=None, return_size=False):
     """Optimal Gaussian mode waist for coupling into ``pupil``.
 
-    Host-side bracketed scalar minimisation (reference
-    ``fast/funcs.py:317-345`` including its retry-with-wider-bracket
-    fallback). Runs once per configuration, so it stays off-device.
+    Host-side bracketed scalar minimisation over progressively wider
+    brackets (the narrow bracket occasionally collapses to ~0 for some
+    parameter combinations — reference semantics ``fast/funcs.py:317-345``).
+    Runs once per configuration, so it stays off-device.
     """
-    Nx, Ny = pupil.shape
+    shape = pupil.shape
     if size_max is None:
-        size_max = max(Ny, Nx) * dx
+        size_max = max(shape) * dx
     if size_min is None:
         size_min = dx
 
-    def _opt_func(W):
-        return coupling_loss(W, (Nx, Ny), pupil, dx)
-
-    opt = minimize_scalar(_opt_func, bracket=[size_min, size_max]).x
-    if abs(opt) < dx:
+    opt = None
+    for hi, last in ((size_max, False), (2 * size_max, True)):
+        opt = minimize_scalar(
+            lambda W: coupling_loss(W, shape, pupil, dx),
+            bracket=[size_min, hi]).x
+        if abs(opt) >= dx:
+            break
+        if last:
+            raise Exception("Cannot optimise gaussian mode, try changing DX?")
         logger.info(
             "Gaussian mode optimisation failed, trying different parameters")
-        opt = minimize_scalar(_opt_func, bracket=[size_min, 2 * size_max]).x
-        if abs(opt) < dx:
-            raise Exception("Cannot optimise gaussian mode, try changing DX?")
 
-    g = gaussian2d((Nx, Ny), opt / dx / np.sqrt(2)) * np.sqrt(
-        2.0 / (np.pi * opt ** 2))
-
-    if return_size:
-        return g, np.abs(opt)
-    return g
+    g = gaussian_mode_field(shape, opt, dx)
+    return (g, np.abs(opt)) if return_size else g

@@ -268,38 +268,37 @@ def get_sample_time(satellite, tele_lat, tele_lon, N=10, start=None, period=10,
     _require_skyfield()
     ts = _sf_load.timescale()
     telescope = _sf_wgs84.latlon(tele_lat, tele_lon)
-    difference = satellite - telescope
 
     t0 = ts.from_datetime(start) if start is not None else satellite.epoch
     t1 = ts.from_datetime(t0.utc_datetime() + datetime.timedelta(days=period))
-
     times, events = satellite.find_events(telescope, t0, t1,
                                           min_altitude_degrees)
-    max_alt = 0
-    max_idx = None
-    for idx in range(len(events)):
-        alt, _, _ = difference.at(times[idx]).altaz()
-        if events[idx] == 1 and max_altitude_degree >= alt.degrees >= max_alt:
-            max_idx = idx
-            max_alt = alt.degrees
-    if max_idx is None:
+    events = np.asarray(events)
+
+    # culmination (event==1) altitudes in one vectorised ephemeris call;
+    # keep the best pass under the altitude cap (last wins on ties, as a
+    # running >= max would)
+    alts = (satellite - telescope).at(times).altaz()[0].degrees
+    ok = np.flatnonzero((events == 1) & (alts >= 0)
+                        & (alts <= max_altitude_degree))
+    if ok.size == 0:
         raise Exception(
             "The satellite doesn't pass over the telescope during the "
             "research period")
+    peak = ok[::-1][np.argmax(alts[ok[::-1]])]
 
-    idx = max_idx
-    while idx > 0 and events[idx] != 0:
-        idx -= 1
-    t_rise = times[idx]
-
+    # pass boundaries: nearest rise (event==0) at or before the peak and —
+    # unless sampling stops at culmination — nearest fall (event==2) after
+    rises = np.flatnonzero(events[:peak + 1] == 0)
+    t_rise = times[int(rises[-1])] if rises.size else times[0]
     if zenith_stop:
-        t_fall = times[max_idx]
+        t_fall = times[int(peak)]
     else:
-        idx = max_idx
-        while idx < len(events) - 1 and events[idx] != 2:
-            idx += 1
-        t_fall = times[idx]
+        falls = peak + np.flatnonzero(events[peak:] == 2)
+        t_fall = times[int(falls[0])] if falls.size else times[-1]
 
+    # .seconds (not total_seconds): passes are << 1 day, and the truncated
+    # field is what downstream sampling has always consumed
     dt = (t_fall.utc_datetime() - t_rise.utc_datetime()).seconds
     return np.linspace(0, dt, N), t_rise.utc_datetime()
 
