@@ -109,6 +109,113 @@ def run_sharded(sim, mesh=None, seed=None):
     return sim.result
 
 
+def _run_sharded_temporal_ar_layers(sim, mesh, seed=None):
+    """Layer-axis sharding of a (possibly boiling) AR frozen-flow series.
+
+    The AR(1)-in-Fourier recursion is sequential in time but independent
+    per turbulence layer, so the state shards over layers: each device
+    evolves its local ``(L/ndev, N, N)`` Fourier block and a per-step
+    ``psum`` over the mesh forms the layer-summed coefficients before the
+    pruned DFT + detector (computed replicated — it is tiny next to the
+    state update). This is the multi-device path for profiles whose AR
+    state exceeds one chip's memory (e.g. 1024^2 x 16 layers), and the
+    only parallel decomposition available when boiling noise makes the
+    time axis sequential.
+    """
+    import functools as _ft
+
+    from ..ops.rng import make_key
+    from ..engine import FastResult
+
+    if mesh is None:
+        mesh = make_mesh()
+    axis_name = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    nlayers = len(sim.h)
+    if nlayers % ndev != 0:
+        raise ValueError(
+            f"layer sharding needs nlayers ({nlayers}) divisible by "
+            f"n_devices ({ndev})")
+    l_local = nlayers // ndev
+
+    dt = np.dtype(str(sim.dtype))
+    cdt = np.complex64 if dt == np.float32 else np.complex128
+    niter = sim.Niter
+
+    spd = (np.asarray(sim._sqrt_psd_layers)
+           * np.float64(sim.freq.main.df)).astype(dt)  # (L, N, N)
+    v = np.asarray(sim.wind_vector, np.float64)
+    fxm = np.asarray(sim.freq.main.fx, np.float64)
+    fym = np.asarray(sim.freq.main.fy, np.float64)
+    phase = (fxm[None] * v[:, 0, None, None]
+             + fym[None] * v[:, 1, None, None]) * float(sim.dt)
+    ph = np.exp(1j * np.angle(np.exp(1j * phase)))
+    ph2 = np.stack([ph.real, ph.imag]).astype(dt)  # (2, L, N, N)
+    alpha = np.asarray(sim._ar_alpha, dt)[:, None, None]
+    sqrt1ma = np.sqrt(np.maximum(
+        0.0, 1.0 - alpha.astype(np.float64) ** 2)).astype(dt)
+    boiling = bool(np.any(np.asarray(sim._ar_alpha) < 1.0))
+    W = synthesis.pruned_ift2_matrix(sim.Npxls, *sim.pup_crop, dtype=cdt)
+    pm = sim._pm
+    dx = sim.dx
+    norm = sim._norm
+    coherent = bool(sim.params["COHERENT"])
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[sim.params["PRECISION"]]
+
+    key = make_key(seed if seed is not None else sim.seed,
+                   impl=sim.params["RNG"])
+    key_logamp, key_scr, _ = jax.random.split(key, 3)
+    chi = synthesis.draw_logamp(
+        key_logamp, niter, sim.logamp_var,
+        temporal_powerspec=sim.temporal_logamp_powerspec, dtype=sim.dtype)
+    rng_impl = {"threefry": "threefry2x32"}.get(
+        sim.params["RNG"], sim.params["RNG"])
+
+    @_ft.partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(None, axis_name), P(axis_name),
+                           P(axis_name), P(axis_name), P()),
+                 out_specs=P())
+    def shard_fn(key_data, ph2_l, spd_l, al_l, s1_l, chi_all):
+        key = jax.random.wrap_key_data(key_data, impl=rng_impl)
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        kinit, knoise = jax.random.split(key)
+        a = synthesis.complex_normal(kinit, spd_l.shape, dtype=cdt) * spd_l
+        phasor = jax.lax.complex(ph2_l[0], ph2_l[1])
+
+        def step(carry, chi_t):
+            a, k = carry
+            a = phasor * a
+            if boiling:
+                k, sub = jax.random.split(k)
+                z = synthesis.complex_normal(sub, a.shape, dtype=a.dtype)
+                a = al_l * a + s1_l * (z * spd_l)
+            # layer sum across the mesh: the one collective per step
+            A = jax.lax.psum(a.sum(0), axis_name)
+            G = jnp.einsum("rk,km->rm", W, A, precision=prec)
+            phs = jnp.einsum("rm,cm->rc", G, W, precision=prec).real
+            pc = synthesis.detector_coupling(phs, jnp.asarray(pm), dx, norm)
+            return (a, k), jnp.exp(chi_t).astype(pc.real.dtype) * pc
+
+        _, out = jax.lax.scan(step, (a, knoise), chi_all)
+        if not coherent:
+            return jnp.abs(out) ** 2
+        return jnp.stack([out.real, out.imag], axis=-1)
+
+    with mesh:
+        out = jax.jit(shard_fn)(
+            jax.random.key_data(key_scr), jnp.asarray(ph2),
+            jnp.asarray(spd), jnp.asarray(alpha), jnp.asarray(sqrt1ma),
+            chi)
+
+    from ..engine import Fast
+    I = Fast._combine_complex(out, coherent)
+    sim.result = FastResult(I, sim.diffraction_limit)
+    sim.I = sim.result.power
+    return sim.result
+
+
 def _run_sharded_temporal_ar(sim, mesh=None, seed=None):
     """Time-axis sharding of a pure frozen-flow AR series.
 
@@ -117,7 +224,9 @@ def _run_sharded_temporal_ar(sim, mesh=None, seed=None):
     (``exp(i * phase * offset)``) and runs its window locally — the
     gathered series is sample-identical to the serial one. Boiling
     (``alpha < 1``) makes the recursion genuinely sequential (per-step
-    noise); parallelise over the scan axis instead.
+    noise); those series shard over *layers* instead
+    (:func:`_run_sharded_temporal_ar_layers`), or over configurations
+    (``run_scan_sharded``).
     """
     import functools as _ft
 
@@ -125,11 +234,7 @@ def _run_sharded_temporal_ar(sim, mesh=None, seed=None):
     from ..engine import FastResult
 
     if np.any(np.asarray(sim._ar_alpha) < 1.0):
-        raise NotImplementedError(
-            "time-axis sharding of a *boiling* AR series (alpha < 1) is "
-            "sequential by construction; shard independent series over the "
-            "scan axis instead (parallel.run_scan_sharded), or set "
-            "TEMPORAL_ALPHA=1")
+        return _run_sharded_temporal_ar_layers(sim, mesh, seed)
     if mesh is None:
         mesh = make_mesh()
     axis_name = mesh.axis_names[0]

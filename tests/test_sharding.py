@@ -168,13 +168,31 @@ def test_temporal_screens_scan_sharding_rejected(mesh8):
         parallel.run_scan_sharded(sims, mesh)
 
 
-def test_temporal_ar_boiling_sharding_rejected(mesh8):
+def test_temporal_ar_boiling_layer_sharded(mesh8):
+    """Boiling AR series shard over the *layer* axis: each device evolves
+    its local Fourier blocks, a per-step psum forms the layer sum before
+    the pruned DFT + detector. Statistics match a solo run."""
+    h, cn2, w = fast_tpu.turbulence_models.HV57_Bufton_profile(8)
     p = make_test_params(TEMPORAL=True, TEMPORAL_SYNTH="ar",
-                         TEMPORAL_ALPHA=0.9, NPXLS=128, NITER=160,
-                         NCHUNKS=4, SEED=14)
-    sim = fast_tpu.Fast(p)
-    with pytest.raises(NotImplementedError, match="boiling"):
-        parallel.run_sharded(sim, mesh=mesh8)
+                         TEMPORAL_ALPHA=0.9, NPXLS=128, NITER=400,
+                         NCHUNKS=4, SEED=14, H_TURB=h, CN2_TURB=cn2,
+                         WIND_SPD=w, WIND_DIR=np.linspace(0.0, 315.0, 8))
+    sim = fast_tpu.Fast(dict(p))
+    r = np.asarray(parallel.run_sharded(sim, mesh=mesh8).power)
+    assert r.shape == (400,) and np.isfinite(r).all()
+    # frozen-flow short-lag correlation survives the decomposition
+    x = r / r.mean() - 1
+    assert (x[:-1] * x[1:]).mean() / (x * x).mean() > 0.5
+    solo = fast_tpu.Fast(dict(p, SEED=99))
+    r_solo = np.asarray(solo.run().power)
+    assert abs(np.log(r_solo.mean() / r.mean())) < 0.7
+
+    # a layer count the mesh cannot split still fails loudly
+    p4 = make_test_params(TEMPORAL=True, TEMPORAL_SYNTH="ar",
+                          TEMPORAL_ALPHA=0.9, NPXLS=128, NITER=160,
+                          NCHUNKS=4, SEED=14)
+    with pytest.raises(ValueError, match="divisible"):
+        parallel.run_sharded(fast_tpu.Fast(p4), mesh=mesh8)
 
 
 def test_coherent_sharded(mesh8):
