@@ -813,6 +813,7 @@ class Fast:
             temporal_ps=np.asarray(self.temporal_logamp_powerspec, dt_np),
             dx=dt_np.type(self.dx), norm=dt_np.type(self._norm),
             logamp_var=dt_np.type(self.logamp_var))
+        stream = False
         if dt_np == np.float32 and self.params["SYNTH"] != "fft":
             # per-step pruned-DFT + detector fused into the scan (MXU
             # matmuls, no (B, N, N) block in memory); SYNTH='fft' or f64
@@ -829,10 +830,18 @@ class Fast:
             P = -(-self.Npxls_pup // 128) * 128
             vmem_need = ((4 * 2 * L_layers * N + 3 * P) * N
                          + 2 * P * P) * 4
-            if jax.default_backend() == "tpu" and vmem_need < 100e6:
-                # fully fused Pallas kernel: the AR state lives in VMEM
-                # scratch for the whole series, boiling noise from the
-                # on-chip PRNG, per-step HBM traffic is two floats
+            stream = False
+            if jax.default_backend() == "tpu":
+                # VMEM-resident fused kernel when the whole state fits;
+                # otherwise the HBM-streamed variant (layer blocks through
+                # VMEM per time-chunk) — both keep the per-step HBM
+                # output at two floats
+                stream = vmem_need >= 100e6
+                if stream:
+                    logger.info(
+                        "AR state (%d layers x %d^2) needs ~%.0f MB VMEM "
+                        "— using the HBM-streamed kernel", L_layers, N,
+                        vmem_need / 1e6)
                 ph = np.exp(1j * phase) * self._ar_alpha[:, None, None]
                 C["ph2"] = np.stack([ph.real, ph.imag]).astype(dt_np)
                 sqrt1ma = np.sqrt(np.maximum(
@@ -840,18 +849,14 @@ class Fast:
                 if np.any(self._ar_alpha < 1.0):
                     C["ns"] = (sqrt1ma[:, None, None]
                                * np.float64(sqrt_psd_df)).astype(dt_np)
-            elif jax.default_backend() == "tpu":
-                logger.info(
-                    "AR state (%d layers x %d^2) needs ~%.0f MB VMEM — "
-                    "beyond the fused kernel's budget; using the per-step "
-                    "matmul scan path", L_layers, N, vmem_need / 1e6)
         import functools as _ft
         return _ft.partial(
             _run_all_temporal_ar, C=C, nchunks=self.Nchunks,
             B=self.Niter_per_chunk, coherent=bool(self.params["COHERENT"]),
             crop=self.pup_crop, boiling=bool(np.any(self._ar_alpha < 1.0)),
             temporal_chi=True, precision=self.params["PRECISION"],
-            noise=self.params["TEMPORAL_NOISE"])
+            noise=self.params["TEMPORAL_NOISE"],
+            stream=("ph2" in C and stream))
 
     def run(self, progress=False):
         """Draw all Monte Carlo realizations; returns :class:`FastResult`.
@@ -1296,10 +1301,10 @@ def _run_all_temporal_screens(key_logamp, key_scr, C, *, nchunks, B,
 @_functools.partial(
     jax.jit,
     static_argnames=("nchunks", "B", "coherent", "crop", "boiling",
-                     "temporal_chi", "precision", "noise"))
+                     "temporal_chi", "precision", "noise", "stream"))
 def _run_all_temporal_ar(key_logamp, key_scr, C, *, nchunks, B, coherent,
                          crop, boiling, temporal_chi, precision="highest",
-                         noise="uniform"):
+                         noise="uniform", stream=False):
     """Whole AR(1)-in-Fourier frozen-flow run as one shared program.
 
     With ``w2`` in ``C`` (the float32 path) each step runs the fused
@@ -1332,7 +1337,9 @@ def _run_all_temporal_ar(key_logamp, key_scr, C, *, nchunks, B, coherent,
         from .ops import pallas_synth
         seed = jax.random.bits(knoise, (), "uint32").astype(jnp.int32)
         ph_scaled = jax.lax.complex(C["ph2"][0], C["ph2"][1])
-        c, _ = pallas_synth.ar_flow_fused(
+        kernel = (pallas_synth.ar_flow_streamed if stream
+                  else pallas_synth.ar_flow_fused)
+        c, _ = kernel(
             seed, a0, ph_scaled, C.get("ns"), W, pm, nchunks * B,
             precision=precision, noise=noise)
         pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2 / norm)

@@ -919,6 +919,220 @@ def fused_colfac_detect_packed(seed, l2, w2, pupil_mode, nbatch, b_tile,
                                mix=None, premixed=(noise == "mixed"))
 
 
+def _ar_stream_kernel(scal_ref, st_ref, ph_ref, ns_ref, wr_ref, wi_ref,
+                      pm_ref, st_out_ref, out_ref, acc_ref, *, n_lb,
+                      k_steps, lb_layers, N, boiling, noise, precision):
+    """One ``k_steps`` time-chunk of the AR flow, layer blocks streamed.
+
+    Grid = (n_lb,): program ``lb`` loads its (2, lb_layers*N, N) state
+    block from HBM, runs ``k_steps`` phasor updates (+ boiling noise),
+    adds its per-step layer partial sums into the VMEM accumulator, and
+    writes the updated block back. The last block program runs the pruned
+    DFT + detector for all ``k_steps``. HBM traffic per chunk is one
+    read+write of the state (amortised over ``k_steps`` time steps) —
+    this is the beyond-VMEM path for profiles whose full Fourier state
+    cannot stay resident (e.g. 1024^2 x 16 layers).
+    """
+    lb = pl.program_id(0)
+    if boiling:
+        pltpu.prng_seed(scal_ref[0], scal_ref[1], lb)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def dot_t(a, b):  # a @ b.T
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(lb == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    nr = st_ref[0]
+    ni = st_ref[1]
+    pr = ph_ref[0]
+    pi = ph_ref[1]
+    if boiling:
+        ns = ns_ref[:]
+    for k in range(k_steps):
+        ar, ai = nr, ni
+        nr = ar * pr - ai * pi
+        ni = ar * pi + ai * pr
+        if boiling:
+            shape = nr.shape  # (lb_layers*N, N)
+            bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+            i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+            if noise == "uniform":
+                s3 = np.float32(np.sqrt(3.0))
+                z1 = i1.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+                z2 = i2.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+            else:
+                u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+                u2 = i2.astype(jnp.float32) * (2.0 ** -24)
+                r = jnp.sqrt(-2.0 * jnp.log(u1))
+                theta = (2.0 * np.pi) * u2
+                z1 = r * jnp.cos(theta)
+                z2 = r * jnp.sin(theta)
+            nr = nr + z1 * ns
+            ni = ni + z2 * ns
+        Ar = nr[0:N]
+        Ai = ni[0:N]
+        for l in range(1, lb_layers):
+            Ar = Ar + nr[l * N:(l + 1) * N]
+            Ai = Ai + ni[l * N:(l + 1) * N]
+        acc_ref[k, 0] += Ar
+        acc_ref[k, 1] += Ai
+    st_out_ref[0] = nr
+    st_out_ref[1] = ni
+
+    @pl.when(lb == n_lb - 1)
+    def _detect():
+        wr = wr_ref[:]
+        wi = wi_ref[:]
+        pm = pm_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+        for k in range(k_steps):
+            Ar = acc_ref[k, 0]
+            Ai = acc_ref[k, 1]
+            gr = dot(wr, Ar) - dot(wi, Ai)
+            gi = dot(wr, Ai) + dot(wi, Ar)
+            phi = dot_t(gr, wr) - dot_t(gi, wi)
+            packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi)), 0.0)
+                      + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi)),
+                                  0.0))
+            out_ref[k] = packed
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nsteps", "nlayers", "lb_layers", "k_steps", "interpret", "precision",
+    "noise"))
+def _ar_stream_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
+                    lb_layers, k_steps, interpret=False,
+                    precision="default", noise="uniform"):
+    with jax.enable_x64(False):
+        LN, N = a0.shape[1:]
+        P = wr.shape[0]
+        boiling = ns is not None
+        n_lb = nlayers // lb_layers
+        lbN = lb_layers * N
+        nchunks = nsteps // k_steps
+
+        in_specs = [
+            pl.BlockSpec((2, lbN, N), lambda lb, *_: (0, lb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, lbN, N), lambda lb, *_: (0, lb, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if boiling:
+            in_specs.append(pl.BlockSpec((lbN, N), lambda lb, *_: (lb, 0),
+                                         memory_space=pltpu.VMEM))
+        in_specs += [
+            pl.BlockSpec((P, N), lambda lb, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N), lambda lb, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, P), lambda lb, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_lb,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((2, lbN, N), lambda lb, *_: (0, lb, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k_steps, 1, _LANE), lambda lb, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((k_steps, 2, N, N), jnp.float32)],
+        )
+        kern = functools.partial(
+            _ar_stream_kernel, n_lb=n_lb, k_steps=k_steps,
+            lb_layers=lb_layers, N=N, boiling=boiling, noise=noise,
+            precision=_precision(precision))
+
+        if boiling:
+            def _shim(scal_ref, st_ref, ph_ref, ns_ref, wr_ref, wi_ref,
+                      pm_ref, st_out_ref, out_ref, acc_ref):
+                kern(scal_ref, st_ref, ph_ref, ns_ref, wr_ref, wi_ref,
+                     pm_ref, st_out_ref, out_ref, acc_ref)
+        else:
+            def _shim(scal_ref, st_ref, ph_ref, wr_ref, wi_ref, pm_ref,
+                      st_out_ref, out_ref, acc_ref):
+                kern(scal_ref, st_ref, ph_ref, None, wr_ref, wi_ref,
+                     pm_ref, st_out_ref, out_ref, acc_ref)
+
+        vmem_need = ((7 * lbN + 2 * k_steps * N + 3 * P) * N
+                     + 2 * P * P) * 4
+        call = pl.pallas_call(
+            _shim, grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((2, LN, N), jnp.float32),
+                jax.ShapeDtypeStruct((k_steps, 1, _LANE), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(64 * 1024 * 1024, int(vmem_need * 1.4)),
+                dimension_semantics=("arbitrary",)),
+            interpret=pltpu.InterpretParams() if interpret else False)
+
+        def body(st, tc):
+            operands = [jnp.stack([seed[0], tc]), st, ph]
+            if boiling:
+                operands.append(ns)
+            operands += [wr, wi, pm]
+            st_new, out_k = call(*operands)
+            return st_new, out_k
+
+        st_fin, outs = jax.lax.scan(
+            body, a0, jnp.arange(nchunks, dtype=jnp.int32))
+        return outs.reshape(nsteps, 1, _LANE)[:, 0, :2], st_fin
+
+
+def ar_flow_streamed(seed, a0, step_phasor_scaled, noise_scale, W,
+                     pupil_mode, nsteps, interpret=False,
+                     precision="default", noise="uniform"):
+    """AR(1) frozen-flow coupling series with HBM-streamed layer state.
+
+    Same process and arguments as :func:`ar_flow_fused`, for
+    configurations whose (nlayers, N, N) Fourier state exceeds the fused
+    kernel's VMEM budget: the state lives in HBM, carried by an XLA scan
+    over ``k_steps`` time-chunks; each chunk streams the per-layer blocks
+    through VMEM once (read+write amortised over the chunk's steps).
+    """
+    L, N, _ = a0.shape
+    npup = W.shape[0]
+    P = _round_up(npup, _LANE)
+    # VMEM per program ~ (7*lbN + 2k*N + 3P)*N floats; lb_layers=1 and a
+    # k that fits a ~80 MB scope (acc dominates at large N)
+    k_cap = max(1, int((20e6 / (N * N) - 7) / 2))
+    k_steps = _auto_tile(nsteps, min(8, k_cap))
+    a02 = jnp.stack([jnp.real(a0), jnp.imag(a0)]).reshape(2, L * N, N) \
+        .astype(jnp.float32)
+    ph2 = jnp.stack([jnp.real(step_phasor_scaled),
+                     jnp.imag(step_phasor_scaled)]) \
+        .reshape(2, L * N, N).astype(jnp.float32)
+    ns = None
+    if noise_scale is not None:
+        ns = jnp.asarray(noise_scale, jnp.float32).reshape(L * N, N)
+    W = np.asarray(W)
+    wr = np.pad(np.real(W).astype(np.float32), ((0, P - npup), (0, 0)))
+    wi = np.pad(np.imag(W).astype(np.float32), ((0, P - npup), (0, 0)))
+    pm = np.pad(np.asarray(pupil_mode, np.float32),
+                ((0, P - npup), (0, P - npup)))
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    out, stfin = _ar_stream_call(
+        seed, a02, ph2, ns, jnp.asarray(wr), jnp.asarray(wi),
+        jnp.asarray(pm), int(nsteps), int(L), 1, int(k_steps),
+        interpret=interpret, precision=precision, noise=noise)
+    a_final = jax.lax.complex(stfin[0], stfin[1]).reshape(L, N, N)
+    return out, a_final
+
+
 def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
                         m_tile=None, interpret=False, precision="default",
                         subharm_screens=None, noise="gauss"):

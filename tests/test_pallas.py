@@ -195,6 +195,38 @@ def test_interpret_ar_flow_kernel_matches_scan_path():
                                atol=1e-4)
 
 
+def test_interpret_ar_streamed_matches_fused():
+    """The HBM-streamed AR kernel (layer blocks through VMEM, state
+    carried by an XLA scan) computes the same series as the VMEM-resident
+    fused kernel — exactly, in the deterministic alpha=1 case."""
+    import jax.numpy as jnp
+
+    L_layers, N, lo, hi = 3, 64, 20, 44
+    npup = hi - lo
+    rng = np.random.default_rng(7)
+    # keep |phi| ~ 1 rad: accumulation-order f32 noise through cos/sin is
+    # then comparable between the two layer-summation orders
+    a0 = 0.02 * (rng.normal(size=(L_layers, N, N))
+                 + 1j * rng.normal(size=(L_layers, N, N))) \
+        .astype(np.complex64)
+    ph = np.exp(1j * rng.uniform(-3, 3, (L_layers, N, N))) \
+        .astype(np.complex64)
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex64)
+    pm = rng.random((npup, npup)).astype(np.float32)
+    nsteps = 8
+
+    c_f, af_f = pallas_synth.ar_flow_fused(
+        1, jnp.asarray(a0), jnp.asarray(ph), None, W, pm, nsteps,
+        interpret=True, precision="highest")
+    c_s, af_s = pallas_synth.ar_flow_streamed(
+        1, jnp.asarray(a0), jnp.asarray(ph), None, W, pm, nsteps,
+        interpret=True, precision="highest")
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_f),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(af_s), np.asarray(af_f),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_interpret_mixed_noise_plumbing():
     """MC_NOISE='mixed': zero interpreter bits give u = -sqrt(3)
     everywhere, so z = u @ M is deterministic — validates the orthogonal
