@@ -1,4 +1,4 @@
-"""Benchmark: Monte Carlo throughput of the flagship AO link.
+"""Benchmark: Monte Carlo throughput + MFU of the flagship AO link.
 
 Headline metric (BASELINE.json): MC realizations/sec/chip at a 256^2 grid
 for an AO-corrected satellite link. Baseline = the reference
@@ -6,9 +6,11 @@ implementation's numpy path on this host's CPU (no pyFFTW available),
 measured via ``FAST_TPU_MEASURE_REF=1`` and recorded below.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"secondary"} — secondary carries the 512^2 figure and the temporal
-AR-frozen-flow steps/sec so size/temporal regressions are caught by the
-driver, not prose.
+"secondary", "perf"} — secondary carries the 512^2 figure, the temporal
+AR steps/sec and the default-config (SYNTH='auto') figure; perf carries
+the roofline accounting (achieved TFLOP/s, MFU vs the chip's bf16 peak,
+per-set throughputs + a spread warning so the driver can tell a
+regression from pool contention).
 """
 
 import json
@@ -28,6 +30,50 @@ NITER = 16384
 REP_SETS = 5  # best-of-N: the sandbox TPU is pooled and throughput varies
 REPS_PER_SET = 3
 
+# bf16 matmul peak by TPU generation (TFLOP/s/chip, public spec sheets)
+_PEAK_BF16 = (
+    ("v6", 918.0),   # Trillium
+    ("v5p", 459.0),
+    ("v5e", 197.0),
+    ("v5 lite", 197.0),
+    ("v4", 275.0),
+)
+
+
+def peak_tflops(device):
+    kind = getattr(device, "device_kind", "").lower()
+    for tag, peak in _PEAK_BF16:
+        if tag in kind:
+            return peak
+    return None
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def kernel_flops_per_screen(synth, N, npup, mc_noise="mixed"):
+    """MXU-dot FLOPs per realization for the fused synthesis kernels.
+
+    Counts only the matrix-unit work (the algorithm's FLOPs); VPU work
+    (on-chip PRNG, Box-Muller/uniform conversion, detector cos/sin) is
+    excluded, so MFU here is a *matmul* utilization — the roofline
+    argument in BASELINE.md covers the VPU side.
+    """
+    P = _round_up(npup, 128)
+    if synth == "pallas_colfac":
+        # per pair: 4 factor dots (b,P)x(P,P) per column (8 P^2 N FLOPs)
+        # + 4 accumulate dots contracting the column axis (8 P^2 N);
+        # 'mixed' noise folds its mixing matrix into the factor tables
+        # (no extra dot). 16 P^2 N per pair -> 8 P^2 N per screen.
+        return 8 * P * P * N
+    if synth == "pallas_fused":
+        mix = 4 * N ** 3 if mc_noise == "mixed" else 0
+        return (mix + 8 * P * N ** 2 + 8 * P * P * N) / 2
+    if synth == "ar":  # per temporal step
+        return 8 * P * N ** 2 + 4 * P * P * N
+    return None
+
 
 def measure_reference():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
@@ -46,29 +92,42 @@ def measure_reference():
 
 def measure_rps(sim, niter, rep_sets=REP_SETS, reps=REPS_PER_SET,
                 temporal=False):
-    """Best-of-N steady-state throughput of the full jitted run program."""
+    """Steady-state throughput of the full jitted run program.
+
+    Returns a dict with per-set rates, best and median — the pooled chip's
+    run-to-run spread is signal the driver needs, not noise to discard.
+    """
     import jax
 
     run_all = (sim._run_all_fn_temporal_ar() if temporal
                else sim._run_all_fn())
-    key = jax.random.key(0, impl="rbg")
+    key = jax.random.key(0, impl=sim.params["RNG"])
 
     # compile + warm (two fetch cycles: first real execution can include
     # one-time remote program load)
     for i in range(2):
-        checksum = float(run_all(key, jax.random.fold_in(key, 1000 + i)).sum())
+        checksum = float(np.abs(
+            np.asarray(run_all(key, jax.random.fold_in(key, 1000 + i)))
+        ).sum())
         assert np.isfinite(checksum)
 
-    best = 0.0
+    rates = []
     for r in range(rep_sets):
         t0 = time.time()
         for i in range(reps):
             out = run_all(key, jax.random.fold_in(key, 10 * r + i))
-        checksum = float(out.sum())
+        checksum = float(np.abs(np.asarray(out)).sum())
+        assert np.isfinite(checksum)
         dt = (time.time() - t0) / reps
-        best = max(best, niter / dt)
+        rates.append(niter / dt)
         print(f"#   set {r}: {niter / dt:.0f} /s", file=sys.stderr)
-    return best
+    rates = sorted(rates)
+    return {
+        "best": rates[-1],
+        "median": float(np.median(rates)),
+        "sets": [round(x, 1) for x in rates],
+        "spread_warning": bool(rates[-1] > 2.0 * rates[0]),
+    }
 
 
 def main():
@@ -78,6 +137,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import __graft_entry__ as g
     import fast_tpu
+
+    dev = jax.devices()[0]
+    peak = peak_tflops(dev)
+    print(f"# device: {dev.device_kind} (bf16 peak "
+          f"{peak if peak else 'unknown'} TFLOP/s)", file=sys.stderr)
 
     ref_rps = REF_CPU_RPS
     if os.environ.get("FAST_TPU_MEASURE_REF"):
@@ -92,28 +156,70 @@ def main():
     print("# 256^2 iid", file=sys.stderr)
     sim = fast_tpu.Fast(g._flagship_params(
         npxls=256, niter=NITER, nchunks=1, RNG="rbg", SYNTH=synth))
-    best_256 = measure_rps(sim, NITER)
+    r256 = measure_rps(sim, NITER)
+
+    print("# 256^2 default config (SYNTH='auto')", file=sys.stderr)
+    sim_def = fast_tpu.Fast(g._flagship_params(
+        npxls=256, niter=NITER, nchunks=1))
+    r_def = measure_rps(sim_def, NITER, rep_sets=3)
 
     print("# 512^2 iid", file=sys.stderr)
     sim512 = fast_tpu.Fast(g._flagship_params(
         npxls=512, niter=8192, nchunks=1, RNG="rbg", SYNTH=synth))
-    best_512 = measure_rps(sim512, 8192)
+    r512 = measure_rps(sim512, 8192)
 
     print("# 256^2 temporal AR frozen flow", file=sys.stderr)
     sim_t = fast_tpu.Fast(g._flagship_params(
         npxls=256, niter=16384, nchunks=64, RNG="rbg", TEMPORAL=True,
         TEMPORAL_SYNTH="ar", DT=0.001))
-    best_t = measure_rps(sim_t, 16384, rep_sets=5, reps=1, temporal=True)
+    r_t = measure_rps(sim_t, 16384, rep_sets=5, reps=1, temporal=True)
+
+    mc_noise = sim.params.get("MC_NOISE", "mixed")
+
+    def tfl(rate, synth_name, s, kind="iid"):
+        f = kernel_flops_per_screen(
+            synth_name, s.Npxls, s.Npxls_pup, mc_noise)
+        return round(rate * f / 1e12, 2) if f else None
+
+    tflops_256 = tfl(r256["best"], sim._synth, sim)
+    tflops_512 = tfl(r512["best"], sim512._synth, sim512)
+    tflops_ar = tfl(r_t["best"], "ar", sim_t)
+    tflops_def = tfl(r_def["best"], sim_def._synth, sim_def)
+
+    perf = {
+        "device_kind": dev.device_kind,
+        "peak_tflops_bf16": peak,
+        "synth": sim._synth,
+        "mc_noise": mc_noise,
+        "tflops_256": tflops_256,
+        "tflops_512": tflops_512,
+        "tflops_default": tflops_def,
+        "tflops_ar_step": tflops_ar,
+        "mfu_256": (round(tflops_256 / peak, 4)
+                    if peak and tflops_256 else None),
+        "mfu_512": (round(tflops_512 / peak, 4)
+                    if peak and tflops_512 else None),
+        "mfu_ar": (round(tflops_ar / peak, 4)
+                   if peak and tflops_ar else None),
+        "sets_256": r256["sets"],
+        "median_256": round(r256["median"], 1),
+        "sets_512": r512["sets"],
+        "median_512": round(r512["median"], 1),
+        "spread_warning": bool(r256["spread_warning"]
+                               or r512["spread_warning"]),
+    }
 
     print(json.dumps({
         "metric": "mc_realizations_per_sec_256sq_chip",
-        "value": round(best_256, 1),
+        "value": round(r256["best"], 1),
         "unit": "realizations/s",
-        "vs_baseline": round(best_256 / ref_rps, 1),
+        "vs_baseline": round(r256["best"] / ref_rps, 1),
         "secondary": {
-            "mc_realizations_per_sec_512sq_chip": round(best_512, 1),
-            "temporal_ar_steps_per_sec_256sq": round(best_t, 1),
+            "mc_realizations_per_sec_512sq_chip": round(r512["best"], 1),
+            "temporal_ar_steps_per_sec_256sq": round(r_t["best"], 1),
+            "default_config_rps_256sq": round(r_def["best"], 1),
         },
+        "perf": perf,
     }))
 
 

@@ -39,9 +39,11 @@ def run_scan_sharded(sims, mesh, seed=None):
     """Run a batch of same-geometry simulations over a ``(scan, mc)`` mesh.
 
     Supported synthesis paths: ``fft`` / ``matmul`` / ``colfac`` (any
-    backend) and ``pallas_fused`` (TPU — per-configuration tables are
-    traced into the fused kernel inside ``shard_map``). Temporal AR
-    configurations shard one ordered series per configuration.
+    backend) and ``pallas_fused`` / ``pallas_colfac`` (TPU —
+    per-configuration tables stream through ``shard_map`` into the fused
+    kernels; the colfac factor stacks ship prepadded, bf16 at
+    PRECISION='default'). Temporal AR configurations shard one ordered
+    series per configuration.
 
     Args:
         sims: list of initialised :class:`fast_tpu.Fast` objects sharing
@@ -63,22 +65,23 @@ def run_scan_sharded(sims, mesh, seed=None):
             "(fixed-grid series); the grown-grid 'screens' mode does not "
             "shard over configurations")
     synth_override = None
-    if s0._synth in ("pallas", "pallas_colfac"):
+    if s0._synth == "pallas":
         if all(s.params.get("SYNTH") == "auto" for s in sims):
             synth_override = "matmul"
         else:
             raise NotImplementedError(
                 "scan sharding supports SYNTH 'fft'|'matmul'|'colfac'|"
-                "'pallas_fused'; the screens-out 'pallas' and the "
-                "factor-table 'pallas_colfac' kernels are not "
-                "scan-shardable — use 'pallas_fused' (or 'colfac')")
-    if s0._synth == "pallas_fused" and jax.default_backend() != "tpu":
+                "'pallas_fused'|'pallas_colfac'; the screens-out 'pallas' "
+                "kernel is not scan-shardable — use a fused kernel "
+                "(or 'colfac')")
+    if (s0._synth in ("pallas_fused", "pallas_colfac")
+            and jax.default_backend() != "tpu"):
         if all(s.params.get("SYNTH") == "auto" for s in sims):
             synth_override = "matmul"
         else:
             raise NotImplementedError(
-                "SYNTH='pallas_fused' scans need a TPU backend (the fused "
-                "kernel has no CPU lowering); use 'matmul' or 'colfac'")
+                f"SYNTH='{s0._synth}' scans need a TPU backend (the fused "
+                "kernels have no CPU lowering); use 'matmul' or 'colfac'")
     for s in sims[1:]:
         if (s.Npxls, s.Npxls_pup, s.Niter, s.Nchunks) != (
                 s0.Npxls, s0.Npxls_pup, s0.Niter, s0.Nchunks):
@@ -108,15 +111,29 @@ def run_scan_sharded(sims, mesh, seed=None):
     synth = synth_override or s0._synth
     subharm = bool(s0.subharmonics)
     precision = s0.params["PRECISION"]
+    mc_noise = s0.params.get("MC_NOISE", "gauss")
     # shared tables (same grid geometry) embed as constants; per-sim
     # complex tables ship as stacked (real, imag) floats — complex arrays
     # cannot cross program boundaries on all TPU runtimes
     W = s0._W_pruned if synth in ("matmul", "colfac") else None
     W_pf = s0._W_pruned if synth == "pallas_fused" else None
     dt = np.dtype(str(s0.dtype))
+    pc_tiles = None
     if synth == "colfac":
         Ls = np.stack([np.asarray(s._L_colfac) for s in sims])
         l2 = np.stack([Ls.real, Ls.imag]).astype(dt)  # (2, nsims, N, Np, Np)
+    elif synth == "pallas_colfac":
+        # per-sim factor tables streamed through the mesh as prepadded
+        # (bf16 at PRECISION='default') stacks; W columns are shared
+        from ..ops import pallas_synth
+        packed = [pallas_synth.colfac_pack_tables(
+            np.asarray(s._L_colfac), np.asarray(s._W_pruned), precision,
+            noise=mc_noise) for s in sims]
+        # (2, nsims, ncols, P, P): sims on axis 1 like the colfac layout
+        l2 = np.stack([t[0] for t in packed], axis=1)
+        w2_colfac = packed[0][1]
+        pc_tiles = pallas_synth.colfac_tile_select(
+            b_local // 2, l2.shape[2], s0.Npxls_pup, precision)
     else:
         l2 = np.zeros((2, len(sims), 0), dt)
     if subharm:
@@ -145,7 +162,7 @@ def run_scan_sharded(sims, mesh, seed=None):
 
     def chunk_body(key, chi_c, sqrt_psd, pm, norm, l2_s, sps_sh):
         kmain, ksub = jax.random.split(key)
-        if synth == "pallas_fused":
+        if synth in ("pallas_fused", "pallas_colfac"):
             from ..ops import pallas_synth
             seed = jax.random.bits(kmain, (), "uint32").astype(jnp.int32)
             sh = None
@@ -154,9 +171,16 @@ def run_scan_sharded(sims, mesh, seed=None):
                     synthesis.synthesize_subharm_complex(
                         ksub, sps_sh, sh_df, sh_modes, b_local // 2,
                         crop=crop), pm.shape[0])
-            c = pallas_synth.fused_synthesis_detect(
-                seed, sqrt_psd, df, b_local // 2, W_pf, pm,
-                precision=precision, subharm_screens=sh)
+            if synth == "pallas_colfac":
+                c = pallas_synth.fused_colfac_detect_packed(
+                    seed, l2_s, jnp.asarray(w2_colfac), pm, b_local // 2,
+                    *pc_tiles, precision=precision, subharm_screens=sh,
+                    noise=mc_noise)
+            else:
+                c = pallas_synth.fused_synthesis_detect(
+                    seed, sqrt_psd, df, b_local // 2, W_pf, pm,
+                    precision=precision, subharm_screens=sh,
+                    noise=mc_noise)
             pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2)
             out = jnp.exp(chi_c).astype(jnp.float32) * pc / norm
             if not coherent:
@@ -188,7 +212,7 @@ def run_scan_sharded(sims, mesh, seed=None):
                   P(None, "scan"), P("scan")),
         out_specs=P("scan", "mc"),
         # pallas_call's out_shape carries no varying-mesh-axes annotation
-        check_vma=(synth != "pallas_fused"))
+        check_vma=not synth.startswith("pallas"))
     def shard_fn(key_data, sqrt_psd, pm, norm, chi, l2_l, sps_sh_l):
         key = jax.random.wrap_key_data(key_data, impl=rng_impl)
         key = jax.random.fold_in(key, jax.lax.axis_index("scan"))
