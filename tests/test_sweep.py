@@ -38,6 +38,11 @@ def test_sweep_matches_individual_inits():
         assert np.isclose(sims[i].fitting_error, solo.fitting_error,
                           rtol=1e-10)
         assert np.isclose(sims[i].noise_error, solo.noise_error, rtol=1e-10)
+        # clone invariants, asserted term-by-term: the link budget differs
+        # from the base only in the free-space (range) term, and every
+        # term equals a full per-sample init's
+        for term, val in sims[i].link_budget.items():
+            assert np.isclose(val, solo.link_budget[term], rtol=1e-10), term
         np.testing.assert_allclose(sims[i].phs_var_weights,
                                    solo.phs_var_weights, rtol=1e-10)
 
