@@ -935,7 +935,8 @@ def _ar_stream_kernel(scal_ref, st_ref, ph_ref, ns_ref, wr_ref, wi_ref,
     """
     lb = pl.program_id(0)
     if boiling:
-        pltpu.prng_seed(scal_ref[0], scal_ref[1], lb)
+        # Mosaic accepts at most two seed values: combine (chunk, block)
+        pltpu.prng_seed(scal_ref[0], scal_ref[1] * n_lb + lb)
 
     def dot(a, b):
         return jax.lax.dot_general(
@@ -1067,8 +1068,8 @@ def _ar_stream_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
                 kern(scal_ref, st_ref, ph_ref, None, wr_ref, wi_ref,
                      pm_ref, st_out_ref, out_ref, acc_ref)
 
-        vmem_need = ((7 * lbN + 2 * k_steps * N + 3 * P) * N
-                     + 2 * P * P) * 4
+        vmem_need = ((14 * lbN + 2 * k_steps * N + 6 * P) * N
+                     + 4 * P * P) * 4
         call = pl.pallas_call(
             _shim, grid_spec=grid_spec,
             out_shape=[
@@ -1076,7 +1077,7 @@ def _ar_stream_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
                 jax.ShapeDtypeStruct((k_steps, 1, _LANE), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=max(64 * 1024 * 1024, int(vmem_need * 1.4)),
+                vmem_limit_bytes=max(64 * 1024 * 1024, min(110 * 1024 * 1024, int(vmem_need * 1.3))),
                 dimension_semantics=("arbitrary",)),
             interpret=pltpu.InterpretParams() if interpret else False)
 
@@ -1107,9 +1108,10 @@ def ar_flow_streamed(seed, a0, step_phasor_scaled, noise_scale, W,
     L, N, _ = a0.shape
     npup = W.shape[0]
     P = _round_up(npup, _LANE)
-    # VMEM per program ~ (7*lbN + 2k*N + 3P)*N floats; lb_layers=1 and a
-    # k that fits a ~80 MB scope (acc dominates at large N)
-    k_cap = max(1, int((20e6 / (N * N) - 7) / 2))
+    # VMEM per program: streamed blocks are double-buffered by the Pallas
+    # pipeline — (14*lbN + 2k*N)*N floats with lb_layers=1 — so a ~88 MB
+    # budget bounds k (the accumulator is the only single-buffered piece)
+    k_cap = max(1, int((22e6 / (N * N) - 14) / 2))
     k_steps = _auto_tile(nsteps, min(8, k_cap))
     a02 = jnp.stack([jnp.real(a0), jnp.imag(a0)]).reshape(2, L * N, N) \
         .astype(jnp.float32)
@@ -1119,16 +1121,16 @@ def ar_flow_streamed(seed, a0, step_phasor_scaled, noise_scale, W,
     ns = None
     if noise_scale is not None:
         ns = jnp.asarray(noise_scale, jnp.float32).reshape(L * N, N)
-    W = np.asarray(W)
-    wr = np.pad(np.real(W).astype(np.float32), ((0, P - npup), (0, 0)))
-    wi = np.pad(np.imag(W).astype(np.float32), ((0, P - npup), (0, 0)))
-    pm = np.pad(np.asarray(pupil_mode, np.float32),
-                ((0, P - npup), (0, P - npup)))
+    W = jnp.asarray(W)
+    wr = jnp.pad(jnp.real(W).astype(jnp.float32), ((0, P - npup), (0, 0)))
+    wi = jnp.pad(jnp.imag(W).astype(jnp.float32), ((0, P - npup), (0, 0)))
+    pm = jnp.pad(jnp.asarray(pupil_mode, jnp.float32),
+                 ((0, P - npup), (0, P - npup)))
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     out, stfin = _ar_stream_call(
-        seed, a02, ph2, ns, jnp.asarray(wr), jnp.asarray(wi),
-        jnp.asarray(pm), int(nsteps), int(L), 1, int(k_steps),
-        interpret=interpret, precision=precision, noise=noise)
+        seed, a02, ph2, ns, wr, wi, pm, int(nsteps), int(L), 1,
+        int(k_steps), interpret=interpret, precision=precision,
+        noise=noise)
     a_final = jax.lax.complex(stfin[0], stfin[1]).reshape(L, N, N)
     return out, a_final
 
