@@ -99,9 +99,11 @@ def measure_rps(sim, niter, rep_sets=REP_SETS, reps=REPS_PER_SET,
     """
     import jax
 
+    from fast_tpu.ops.rng import make_key
+
     run_all = (sim._run_all_fn_temporal_ar() if temporal
                else sim._run_all_fn())
-    key = jax.random.key(0, impl=sim.params["RNG"])
+    key = make_key(0, impl=sim.params["RNG"])
 
     # compile + warm (two fetch cycles: first real execution can include
     # one-time remote program load)

@@ -91,6 +91,15 @@ def _compiler_params(N, P):
         vmem_limit_bytes=max(32 * 1024 * 1024, int(need * 1.5)))
 
 
+def _compiler_params_k(N, P, k):
+    """VMEM scope for the k-pair fused detector kernel."""
+    need = ((10 * N * N + 4 * N * P) * k + 2 * N * N + 4 * P * N
+            + 2 * P * P) * 4
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=min(110 * 1024 * 1024,
+                             max(32 * 1024 * 1024, int(need * 1.5))))
+
+
 def _synth_kernel(seed_ref, s_ref, wr_ref, wi_ref, or_ref, oi_ref, *,
                   precision):
     b = pl.program_id(0)
@@ -205,21 +214,25 @@ def _mixed_normals(i1, i2, mix_ref, dot):
 
 
 def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
-                         *rest, precision, subharm, mixed):
-    """Synthesis + pupil-overlap detector, fully fused.
+                         *rest, precision, subharm, mixed, k_pairs, N):
+    """Synthesis + pupil-overlap detector, fully fused, ``k_pairs`` complex
+    draws per program.
 
-    Like :func:`_synth_kernel` but reduces each screen on-chip to one
-    complex coupling ``sum(pm * exp(i*phi))``, so a chunk's HBM output is a
-    few floats per realization instead of a screen. The four reduction
-    scalars are packed into lanes 0..3 of a (1, 128) output row (scalar
-    blocks do not satisfy the TPU tiling rules). Padded rows/cols
-    contribute nothing (``pm`` is zero there).
+    Works in the *transposed* formulation: the noise ships row-stacked as
+    ``X' = X^T`` blocks of (N, N) in one (k*N, N) draw, colored by the
+    transposed-and-tiled ``sqrt(PSD)`` table, so the dominant DFT-side
+    dots batch into single k-times-larger MXU dots
+    (``G' = X' W^T``, (k*N, N) @ (N, P)). The per-pair screens come out
+    transposed (``H_j = W G'_j = phi_j^T``), which the detector absorbs by
+    using the transposed ``pm`` table:
+    ``sum(pm^T * f(phi^T)) == sum(pm * f(phi))``.
 
-    With ``subharm`` an extra (1, 2, P, P) block carries this screen
-    pair's precomputed low-order subharmonic phase (real, imag), added
-    before the detector's ``exp``. With ``mixed`` an extra (N, N)
-    orthogonal matrix turns scaled uniforms into near-Gaussian noise on
-    the MXU instead of Box-Muller on the VPU (see :func:`_mixed_normals`).
+    Each pair reduces on-chip to one complex coupling packed into lanes
+    0..3 of a (1, 128) output row. With ``subharm`` a (k, 2, P, P) block
+    carries the pairs' precomputed (transposed) low-order subharmonic
+    phase; with ``mixed`` an (N, N) orthogonal matrix turns scaled
+    uniforms into near-Gaussian noise on the MXU
+    (see :func:`_mixed_normals`).
     """
     rest = list(rest)
     mix_ref = rest.pop(0) if mixed else None
@@ -240,7 +253,7 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
             preferred_element_type=jnp.float32,
             precision=precision)
 
-    shape = s_ref.shape
+    shape = s_ref.shape  # (k*N, N): transposed + tiled sqrt(PSD)
     bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
@@ -261,32 +274,46 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
     wr = wr_ref[:]
     wi = wi_ref[:]
 
-    gr = dot(wr, xr) - dot(wi, xi)
-    gi = dot(wr, xi) + dot(wi, xr)
-    phi1 = dot_t(gr, wr) - dot_t(gi, wi)
-    phi2 = dot_t(gr, wi) + dot_t(gi, wr)
-    if subharm:
-        phi1 = phi1 + sh_ref[0, 0]
-        phi2 = phi2 + sh_ref[0, 1]
+    # one batched dot pair for all k draws: G' = X' @ W^T, (k*N, P)
+    gr = dot_t(xr, wr) - dot_t(xi, wi)
+    gi = dot_t(xr, wi) + dot_t(xi, wr)
 
-    pm = pm_ref[:]
+    pm = pm_ref[:]  # transposed pupil*mode
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
-    packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi1)), 0.0)
-              + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi1)), 0.0)
-              + jnp.where(lane == 2, jnp.sum(pm * jnp.cos(phi2)), 0.0)
-              + jnp.where(lane == 3, jnp.sum(pm * jnp.sin(phi2)), 0.0))
-    out_ref[0] = packed
+    for j in range(k_pairs):
+        grj = gr[j * N:(j + 1) * N]
+        gij = gi[j * N:(j + 1) * N]
+        h1 = dot(wr, grj) - dot(wi, gij)   # phi1^T
+        h2 = dot(wr, gij) + dot(wi, grj)   # phi2^T
+        if subharm:
+            h1 = h1 + sh_ref[j, 0]
+            h2 = h2 + sh_ref[j, 1]
+        packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(h1)), 0.0)
+                  + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(h1)), 0.0)
+                  + jnp.where(lane == 2, jnp.sum(pm * jnp.cos(h2)), 0.0)
+                  + jnp.where(lane == 3, jnp.sum(pm * jnp.sin(h2)), 0.0))
+        out_ref[j] = packed
 
 
 @functools.partial(jax.jit, static_argnames=("nbatch", "interpret",
                                              "precision"))
-def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
-                       precision="highest", sh=None, mix=None):
+def _fused_detect_call(seed, s_scaled_t, wr, wi, pm_t, nbatch,
+                       interpret=False, precision="highest", sh=None,
+                       mix=None):
+    """``s_scaled_t`` is the TRANSPOSED (N, N) table; ``pm_t`` the
+    transposed padded pupil*mode; ``sh`` transposed subharmonic screens."""
     with jax.enable_x64(False):
-        N = s_scaled.shape[-1]
+        N = s_scaled_t.shape[-1]
         P = wr.shape[0]
+        # pairs per program: batches the G' dots k-fold; ~(10 N^2 + 4 N P)
+        # f32 live per pair (bits/uniforms/colored noise + G') under a
+        # ~24 MB budget -> k ~ 7 at 256^2, 1 at 512^2
+        k = _auto_tile(nbatch, max(1, int(
+            24e6 / ((10 * N * N + 4 * N * P) * 4))))
+        xp = np if isinstance(s_scaled_t, np.ndarray) else jnp
+        s_tiled = xp.tile(s_scaled_t, (k, 1))
         in_specs = [
-            pl.BlockSpec((N, N), lambda b, *_: (0, 0),
+            pl.BlockSpec((k * N, N), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, N), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -295,7 +322,7 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
             pl.BlockSpec((P, P), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ]
-        operands = [seed, s_scaled, wr, wi, pm]
+        operands = [seed, s_tiled, wr, wi, pm_t]
         if mix is not None:
             in_specs.append(
                 pl.BlockSpec((N, N), lambda b, *_: (0, 0),
@@ -303,15 +330,15 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
             operands.append(mix)
         if sh is not None:
             in_specs.append(
-                pl.BlockSpec((1, 2, P, P), lambda b, *_: (b, 0, 0, 0),
+                pl.BlockSpec((k, 2, P, P), lambda b, *_: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM))
             operands.append(sh)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(nbatch,),
+            grid=(nbatch // k,),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((1, 1, _LANE), lambda b, *_: (b, 0, 0),
+                pl.BlockSpec((k, 1, _LANE), lambda b, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM)
             ],
         )
@@ -319,11 +346,11 @@ def _fused_detect_call(seed, s_scaled, wr, wi, pm, nbatch, interpret=False,
             functools.partial(_synth_detect_kernel,
                               precision=_precision(precision),
                               subharm=sh is not None,
-                              mixed=mix is not None),
+                              mixed=mix is not None, k_pairs=k, N=N),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((nbatch, 1, _LANE), jnp.float32)],
-            compiler_params=_compiler_params(N, P),
+            compiler_params=_compiler_params_k(N, P, k),
             interpret=pltpu.InterpretParams() if interpret else False,
         )(*operands)
         out = out[:, 0, :4]  # (nbatch, 4) = [c1r, c1i, c2r, c2i]
@@ -377,16 +404,22 @@ def fused_synthesis_detect(seed, sqrt_powerspec, df, nbatch, W, pupil_mode,
                      ((0, P - npup), (0, 0)))
         wi = jnp.pad(jnp.imag(W).astype(jnp.float32),
                      ((0, P - npup), (0, 0)))
+    # transposed tables for the k-pair batched kernel (see
+    # _synth_detect_kernel): pm^T, sqrt(PSD)^T, subharm screens^T
     xp = np if isinstance(pupil_mode, np.ndarray) else jnp
-    pm = xp.pad(xp.asarray(pupil_mode, xp.float32),
-                ((0, P - npup), (0, P - npup)))
+    pm_t = xp.pad(xp.asarray(pupil_mode, xp.float32).T,
+                  ((0, P - npup), (0, P - npup)))
     xp = np if isinstance(sqrt_powerspec, np.ndarray) else jnp
-    s_scaled = xp.asarray(sqrt_powerspec, xp.float32) * xp.float32(df)
+    s_scaled_t = (xp.asarray(sqrt_powerspec, xp.float32).T
+                  * xp.float32(df))
+    sh = subharm_screens
+    if sh is not None:
+        sh = jnp.swapaxes(jnp.asarray(sh), -1, -2)
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
     mix = _mixing_matrix(N) if noise == "mixed" else None
-    return _fused_detect_call(seed, s_scaled, wr, wi, pm, int(nbatch),
+    return _fused_detect_call(seed, s_scaled_t, wr, wi, pm_t, int(nbatch),
                               interpret=interpret, precision=precision,
-                              sh=subharm_screens, mix=mix)
+                              sh=sh, mix=mix)
 
 
 def fused_synthesis(seed, sqrt_powerspec, df, nbatch, W, interpret=False,

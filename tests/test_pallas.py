@@ -244,11 +244,15 @@ def test_interpret_mixed_noise_plumbing():
     M = pallas_synth._mixing_matrix(N)
     # orthogonality of the mixing matrix itself
     np.testing.assert_allclose(M @ M.T, np.eye(N), atol=2e-6)
+    # the kernel works in the transposed formulation (k-pair batching):
+    # X' = z * s^T, screens H = W X' W^T come out transposed and the
+    # detector uses pm^T — reproduce exactly that pipeline
     z = -np.sqrt(3, dtype=np.float32) * np.ones((N, N), np.float32) @ M
-    X = (z * sqrt_ps * np.float32(df)).astype(np.complex64) * (1 + 1j)
-    scr = np.asarray(W) @ X @ np.asarray(W).T
+    Xt = (z * sqrt_ps.T * np.float32(df)).astype(np.complex64) * (1 + 1j)
+    scr_t = np.asarray(W) @ Xt @ np.asarray(W).T
     np.testing.assert_allclose(
-        c[0], [(pm * np.cos(scr.real)).sum(), (pm * np.sin(scr.real)).sum()],
+        c[0], [(pm.T * np.cos(scr_t.real)).sum(),
+               (pm.T * np.sin(scr_t.real)).sum()],
         rtol=5e-3, atol=5e-3)
 
     # colfac variant: z (b, P) rows all equal -sqrt3 * colsum(M_P)
