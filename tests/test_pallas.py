@@ -227,6 +227,39 @@ def test_interpret_ar_streamed_matches_fused():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_interpret_ar_streamed_boiling_matches_fused():
+    """Boiling path: zero interpreter bits make both kernels' noise the
+    same deterministic constant, so streamed == fused including the
+    noise-injection arithmetic."""
+    import jax.numpy as jnp
+
+    L_layers, N, lo, hi = 2, 64, 20, 44
+    npup = hi - lo
+    rng = np.random.default_rng(9)
+    a0 = 0.02 * (rng.normal(size=(L_layers, N, N))
+                 + 1j * rng.normal(size=(L_layers, N, N))) \
+        .astype(np.complex64)
+    alpha = 0.9
+    ph = (alpha * np.exp(1j * rng.uniform(-3, 3, (L_layers, N, N)))) \
+        .astype(np.complex64)
+    ns = (0.01 * rng.random((L_layers, N, N))).astype(np.float32)
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex64)
+    pm = rng.random((npup, npup)).astype(np.float32)
+    nsteps = 8
+
+    for noise in ("uniform", "gauss"):
+        c_f, af_f = pallas_synth.ar_flow_fused(
+            1, jnp.asarray(a0), jnp.asarray(ph), jnp.asarray(ns), W, pm,
+            nsteps, interpret=True, precision="highest", noise=noise)
+        c_s, af_s = pallas_synth.ar_flow_streamed(
+            1, jnp.asarray(a0), jnp.asarray(ph), jnp.asarray(ns), W, pm,
+            nsteps, interpret=True, precision="highest", noise=noise)
+        np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_f),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(af_s), np.asarray(af_f),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_interpret_mixed_noise_plumbing():
     """MC_NOISE='mixed': zero interpreter bits give u = -sqrt(3)
     everywhere, so z = u @ M is deterministic — validates the orthogonal
