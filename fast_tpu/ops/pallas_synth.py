@@ -920,8 +920,9 @@ def colfac_pack_tables(L, W, precision, noise="gauss"):
     l2[1, :, :npup, :npup] = np.imag(L)
     if noise == "mixed":
         # kernel computes z @ l2[c, m]^T; fold the lane-mix into the table
-        mt = _mixing_matrix(P).astype(np.float64).T
-        l2 = np.einsum("cmpq,qr->cmpr", l2.astype(np.float64), mt)
+        # (one BLAS matmul in f32 — the tables store as bf16 anyway)
+        mt = _mixing_matrix(P).T
+        l2 = (l2.reshape(-1, P) @ mt).reshape(l2.shape)
     w2 = np.zeros((2, ncols, P), np.float32)  # W^T: lane dim is P-tiled
     w2[0, :, :npup] = np.real(W).T
     w2[1, :, :npup] = np.imag(W).T

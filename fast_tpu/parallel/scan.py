@@ -124,11 +124,19 @@ def run_scan_sharded(sims, mesh, seed=None):
         l2 = np.stack([Ls.real, Ls.imag]).astype(dt)  # (2, nsims, N, Np, Np)
     elif synth == "pallas_colfac":
         # per-sim factor tables streamed through the mesh as prepadded
-        # (bf16 at PRECISION='default') stacks; W columns are shared
+        # (bf16 at PRECISION='default') stacks; W columns are shared.
+        # Packed tables cache on the sim — repeat scans skip the
+        # pad/fold host work
         from ..ops import pallas_synth
-        packed = [pallas_synth.colfac_pack_tables(
-            np.asarray(s._L_colfac), np.asarray(s._W_pruned), precision,
-            noise=mc_noise) for s in sims]
+        packed = []
+        for s in sims:
+            key_pk = (precision, mc_noise)
+            cache = getattr(s, "_colfac_packed", None)
+            if cache is None or cache[0] != key_pk:
+                s._colfac_packed = (key_pk, pallas_synth.colfac_pack_tables(
+                    np.asarray(s._L_colfac), np.asarray(s._W_pruned),
+                    precision, noise=mc_noise))
+            packed.append(s._colfac_packed[1])
         # (2, nsims, ncols, P, P): sims on axis 1 like the colfac layout
         l2 = np.stack([t[0] for t in packed], axis=1)
         w2_colfac = packed[0][1]
@@ -149,16 +157,73 @@ def run_scan_sharded(sims, mesh, seed=None):
 
     key = make_key(seed if seed is not None else s0.seed,
                    impl=s0.params["RNG"])
-    key_logamp, key_mc = jax.random.split(key)
-    chi = jnp.stack([
-        synthesis.draw_logamp(jax.random.fold_in(key_logamp, i), niter,
-                              sims[i].logamp_var, dtype=s0.dtype)
-        for i in range(nsims)
-    ])  # (nsims, niter)
 
     local_sims = nsims // n_scan
     rng_impl = {"threefry": "threefry2x32"}.get(
         s0.params["RNG"], s0.params["RNG"])
+
+    # all per-sim tables ship in one traced pytree through a module-level
+    # jitted program — repeat scans with the same geometry are jit cache
+    # hits (no Python re-trace), and the log-amplitude series is drawn
+    # in-graph per device
+    C = dict(sqrt_psds=sqrt_psds, pms=pms, norms=norms, l2=l2,
+             sqrt_psd_shs=sqrt_psd_shs,
+             logamp_vars=np.asarray([s.logamp_var for s in sims], dt))
+    if synth in ("matmul", "colfac"):
+        Wb = np.asarray(W)
+        C["w2"] = np.stack([Wb.real, Wb.imag]).astype(dt)
+    if synth == "pallas_fused":
+        Wb = np.asarray(W_pf)
+        C["wpf2"] = np.stack([Wb.real, Wb.imag]).astype(np.float32)
+    if synth == "pallas_colfac":
+        C["w2c"] = w2_colfac
+    if subharm:
+        M = np.asarray(sh_modes)
+        C["sh_modes2"] = np.stack([M.real, M.imag]).astype(dt)
+        C["sh_df"] = np.asarray(sh_df, dt)
+
+    with mesh:
+        out = _scan_program(
+            jax.random.key_data(key), C, mesh=mesh, synth=synth,
+            subharm=subharm, coherent=coherent, precision=precision,
+            mc_noise=mc_noise, nchunks=nchunks, b_local=b_local,
+            local_sims=local_sims, crop=crop, df=df, dx=float(dx),
+            rng_impl=rng_impl, pc_tiles=pc_tiles, dtype=str(s0.dtype))
+
+    from ..engine import Fast
+    out = Fast._combine_complex(out, coherent)
+    results = []
+    for i, s in enumerate(sims):
+        s.result = FastResult(out[i], s.diffraction_limit)
+        s.I = s.result.power
+        results.append(s.result)
+    return results
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "synth", "subharm", "coherent", "precision",
+                     "mc_noise", "nchunks", "b_local", "local_sims", "crop",
+                     "df", "dx", "rng_impl", "pc_tiles", "dtype"))
+def _scan_program(key_data, C, *, mesh, synth, subharm, coherent, precision,
+                  mc_noise, nchunks, b_local, local_sims, crop, df, dx,
+                  rng_impl, pc_tiles, dtype):
+    """The whole parameter scan as one shared jitted program.
+
+    ``C`` carries every per-sim array (sqrt PSDs, pupil*mode tables,
+    norms, colfac factor stacks, subharmonic spectra, log-amplitude
+    variances) plus the shared complex tables as stacked (real, imag)
+    floats. One compilation serves every scan with the same shapes and
+    flags; the log-amplitude series draws in-graph per (scan, mc, sim).
+    """
+    dt = jnp.dtype(dtype)
+    niter_local = nchunks * b_local
+    W = jax.lax.complex(C["w2"][0], C["w2"][1]) if "w2" in C else None
+    W_pf = (jax.lax.complex(C["wpf2"][0], C["wpf2"][1])
+            if "wpf2" in C else None)
+    if subharm:
+        sh_modes = jax.lax.complex(C["sh_modes2"][0], C["sh_modes2"][1])
+        sh_df = C["sh_df"]
 
     def chunk_body(key, chi_c, sqrt_psd, pm, norm, l2_s, sps_sh):
         kmain, ksub = jax.random.split(key)
@@ -173,7 +238,7 @@ def run_scan_sharded(sims, mesh, seed=None):
                         crop=crop), pm.shape[0])
             if synth == "pallas_colfac":
                 c = pallas_synth.fused_colfac_detect_packed(
-                    seed, l2_s, jnp.asarray(w2_colfac), pm, b_local // 2,
+                    seed, l2_s, C["w2c"], pm, b_local // 2,
                     *pc_tiles, precision=precision, subharm_screens=sh,
                     noise=mc_noise)
             else:
@@ -208,41 +273,31 @@ def run_scan_sharded(sims, mesh, seed=None):
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P("scan"), P("scan"), P("scan"), P("scan", "mc"),
+        in_specs=(P(), P("scan"), P("scan"), P("scan"), P("scan"),
                   P(None, "scan"), P("scan")),
         out_specs=P("scan", "mc"),
         # pallas_call's out_shape carries no varying-mesh-axes annotation
         check_vma=not synth.startswith("pallas"))
-    def shard_fn(key_data, sqrt_psd, pm, norm, chi, l2_l, sps_sh_l):
+    def shard_fn(key_data, sqrt_psd, pm, norm, lvar, l2_l, sps_sh_l):
         key = jax.random.wrap_key_data(key_data, impl=rng_impl)
         key = jax.random.fold_in(key, jax.lax.axis_index("scan"))
         key = jax.random.fold_in(key, jax.lax.axis_index("mc"))
         outs = []
         for s in range(local_sims):
-            ks = jax.random.fold_in(key, s)
+            k_chi, ks = jax.random.split(jax.random.fold_in(key, s))
+            chi_l = synthesis.draw_logamp(k_chi, niter_local, lvar[s],
+                                          dtype=dt)
             rows = []
             for i in range(nchunks):
                 ki = jax.random.fold_in(ks, i)
                 rows.append(chunk_body(
-                    ki, chi[s, i * b_local:(i + 1) * b_local],
+                    ki, chi_l[i * b_local:(i + 1) * b_local],
                     sqrt_psd[s], pm[s], norm[s], l2_l[:, s], sps_sh_l[s]))
             outs.append(jnp.concatenate(rows))
         return jnp.stack(outs)
 
-    with mesh:
-        out = jax.jit(shard_fn)(jax.random.key_data(key_mc),
-                                jnp.asarray(sqrt_psds), jnp.asarray(pms),
-                                jnp.asarray(norms), chi, jnp.asarray(l2),
-                                jnp.asarray(sqrt_psd_shs))
-
-    from ..engine import Fast
-    out = Fast._combine_complex(out, coherent)
-    results = []
-    for i, s in enumerate(sims):
-        s.result = FastResult(out[i], s.diffraction_limit)
-        s.I = s.result.power
-        results.append(s.result)
-    return results
+    return shard_fn(key_data, C["sqrt_psds"], C["pms"], C["norms"],
+                    C["logamp_vars"], C["l2"], C["sqrt_psd_shs"])
 
 
 def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):
