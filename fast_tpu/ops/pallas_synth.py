@@ -91,6 +91,18 @@ def _compiler_params(N, P):
         vmem_limit_bytes=max(32 * 1024 * 1024, int(need * 1.5)))
 
 
+def _fused_k_select(nbatch, N, P, budget=48e6):
+    """Pairs per program for the fused detector kernel.
+
+    Batching the G' dots k-fold costs ~(10 N^2 + 4 N P) live f32 per pair
+    (bits/uniforms/colored noise + G'); the 48 MB budget lands on k = 8
+    at 256^2 and k = 4 at 512^2 — measured optima (interleaved A/B:
+    585k -> 627k r/s at 256^2 over k=4; k=16 plateaus).
+    """
+    return _auto_tile(nbatch, max(1, int(
+        budget / ((10 * N * N + 4 * N * P) * 4))))
+
+
 def _compiler_params_k(N, P, k):
     """VMEM scope for the k-pair fused detector kernel."""
     need = ((10 * N * N + 4 * N * P) * k + 2 * N * N + 4 * P * N
@@ -305,11 +317,7 @@ def _fused_detect_call(seed, s_scaled_t, wr, wi, pm_t, nbatch,
     with jax.enable_x64(False):
         N = s_scaled_t.shape[-1]
         P = wr.shape[0]
-        # pairs per program: batches the G' dots k-fold; ~(10 N^2 + 4 N P)
-        # f32 live per pair (bits/uniforms/colored noise + G') under a
-        # ~24 MB budget -> k ~ 7 at 256^2, 1 at 512^2
-        k = _auto_tile(nbatch, max(1, int(
-            24e6 / ((10 * N * N + 4 * N * P) * 4))))
+        k = _fused_k_select(nbatch, N, P)
         xp = np if isinstance(s_scaled_t, np.ndarray) else jnp
         s_tiled = xp.tile(s_scaled_t, (k, 1))
         in_specs = [
@@ -689,6 +697,7 @@ def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
 
     nr = st_ref[0]
     ni = st_ref[1]
+    A_rs, A_is = [], []
     for k in range(k_steps):
         ar, ai = nr, ni
         nr = ar * pr - ai * pi
@@ -722,17 +731,24 @@ def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
         for l in range(1, nlayers):
             A_r = A_r + nr[l * N:(l + 1) * N]
             A_i = A_i + ni[l * N:(l + 1) * N]
+        A_rs.append(A_r)
+        A_is.append(A_i)
+    st_ref[0] = nr
+    st_ref[1] = ni
 
-        gr = dot(wr, A_r) - dot(wi, A_i)
-        gi = dot(wr, A_i) + dot(wi, A_r)
+    # batch the unrolled steps' DFT-side dots into single k-wide MXU dots
+    Ar_cat = A_rs[0] if k_steps == 1 else jnp.concatenate(A_rs, axis=1)
+    Ai_cat = A_is[0] if k_steps == 1 else jnp.concatenate(A_is, axis=1)
+    GR = dot(wr, Ar_cat) - dot(wi, Ai_cat)   # (P, k*N)
+    GI = dot(wr, Ai_cat) + dot(wi, Ar_cat)
+    for k in range(k_steps):
+        grk = GR[:, k * N:(k + 1) * N]
+        gik = GI[:, k * N:(k + 1) * N]
         # the series is the *real* part of the complex screen
-        phi = dot_t(gr, wr) - dot_t(gi, wi)
-
+        phi = dot_t(grk, wr) - dot_t(gik, wi)
         packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi)), 0.0)
                   + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi)), 0.0))
         out_ref[k] = packed
-    st_ref[0] = nr
-    st_ref[1] = ni
 
     @pl.when(t == ngrid - 1)
     def _final():
