@@ -1047,12 +1047,20 @@ def _ar_stream_kernel(scal_ref, st_ref, ph_ref, ns_ref, wr_ref, wi_ref,
         wi = wi_ref[:]
         pm = pm_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+        # batch the chunk's DFT-side dots into single k-wide MXU dots
+        if k_steps == 1:
+            Ar_cat, Ai_cat = acc_ref[0, 0], acc_ref[0, 1]
+        else:
+            Ar_cat = jnp.concatenate(
+                [acc_ref[k, 0] for k in range(k_steps)], axis=1)
+            Ai_cat = jnp.concatenate(
+                [acc_ref[k, 1] for k in range(k_steps)], axis=1)
+        GR = dot(wr, Ar_cat) - dot(wi, Ai_cat)   # (P, k*N)
+        GI = dot(wr, Ai_cat) + dot(wi, Ar_cat)
         for k in range(k_steps):
-            Ar = acc_ref[k, 0]
-            Ai = acc_ref[k, 1]
-            gr = dot(wr, Ar) - dot(wi, Ai)
-            gi = dot(wr, Ai) + dot(wi, Ar)
-            phi = dot_t(gr, wr) - dot_t(gi, wi)
+            grk = GR[:, k * N:(k + 1) * N]
+            gik = GI[:, k * N:(k + 1) * N]
+            phi = dot_t(grk, wr) - dot_t(gik, wi)
             packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi)), 0.0)
                       + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi)),
                                   0.0))
