@@ -654,6 +654,9 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
              jnp.concatenate([out[:, 1], out[:, 3]])], axis=-1)
 
 
+_AR_K_CAP = 16  # step-unroll cap for the fused AR kernel (N <= 256)
+
+
 def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
                     pm_ref, out_ref, afin_ref, st_ref, *, nlayers, N,
                     ngrid, k_steps, boiling, noise, precision):
@@ -764,9 +767,11 @@ def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
         LN, N = a0.shape[1:]
         P = wr.shape[0]
         boiling = ns is not None
-        # unroll a few time steps per grid step to amortise per-program
-        # overhead; K divides nsteps (any series length still runs)
-        k_steps = _auto_tile(nsteps, 4)
+        # unroll time steps per grid step to amortise per-program overhead
+        # (measured: 16 > 4 by ~5% at 256^2); larger grids keep the
+        # unroll short — the concatenated DFT operands grow as k*N^2.
+        # K divides nsteps, so any series length still runs
+        k_steps = _auto_tile(nsteps, _AR_K_CAP if N <= 256 else 4)
         ngrid = nsteps // k_steps
         in_specs = [
             pl.BlockSpec((2, LN, N), lambda t, *_: (0, 0, 0),
