@@ -212,11 +212,19 @@ class Modulator:
 
     ``rng`` may be an int seed, a ``numpy.random.Generator`` (a seed is drawn
     from it), or a JAX PRNG key.
+
+    Complex input (a COHERENT run's field series) is converted to detected
+    intensity ``|field|^2`` — scale-free after the mean normalisation. The
+    reference cannot run this case at all (a complex per-iteration SNR
+    reaches ``numpy.random.normal``'s sigma, ``fast/comms.py:78-80``).
     """
 
     def __init__(self, power, modulation, EsN0=None, symbols_per_iter=1000,
                  data=None, rng=None):
-        power = np.asarray(power, dtype=float)
+        power = np.asarray(power)
+        if np.iscomplexobj(power):
+            power = np.abs(power) ** 2
+        power = power.astype(float)
         self.power = power / power.mean()
         self.amplitude = np.sqrt(self.power)
         self.modulation = modulation

@@ -119,6 +119,20 @@ def test_apertures_match_independent_implementation():
     np.testing.assert_array_equal(apertures.circle(2.0, 8), golden2)
 
 
+def test_modulator_accepts_coherent_field():
+    """Complex (coherent-field) input converts to detected intensity;
+    the reference would crash on this case (complex AWGN sigma)."""
+    rng = np.random.default_rng(2)
+    field = (rng.normal(size=512) + 1j * rng.normal(size=512)) * 1e-3
+    m = fast_tpu.comms.Modulator(field, "QPSK", EsN0=15, rng=0,
+                                 symbols_per_iter=32)
+    m.run()
+    assert np.isfinite(m.sep) and 0 <= m.sep <= 1
+    assert np.isfinite(m.evm)
+    np.testing.assert_allclose(
+        m.power, (np.abs(field) ** 2) / (np.abs(field) ** 2).mean())
+
+
 def test_pallas_precision_high_warns_once(caplog):
     from fast_tpu.ops import pallas_synth
 
