@@ -59,6 +59,12 @@ def kernel_flops_per_screen(synth, N, npup, mc_noise="mixed"):
     (on-chip PRNG, Box-Muller/uniform conversion, detector cos/sin) is
     excluded, so MFU here is a *matmul* utilization — the roofline
     argument in BASELINE.md covers the VPU side.
+
+    Returns ``(alg, total)``: ``alg`` counts only the algorithmic dots
+    (color + DFT + detector); ``total`` additionally counts the
+    noise-*generation* mixing dot (4N^3 for 'mixed' noise in the fused
+    kernel — ~40% of its dots at 256^2), which is MXU work but not
+    algorithm. Report both so the MFU number cannot be over-read.
     """
     P = _round_up(npup, 128)
     if synth == "pallas_colfac":
@@ -66,13 +72,16 @@ def kernel_flops_per_screen(synth, N, npup, mc_noise="mixed"):
         # + 4 accumulate dots contracting the column axis (8 P^2 N);
         # 'mixed' noise folds its mixing matrix into the factor tables
         # (no extra dot). 16 P^2 N per pair -> 8 P^2 N per screen.
-        return 8 * P * P * N
+        f = 8 * P * P * N
+        return f, f
     if synth == "pallas_fused":
-        mix = 4 * N ** 3 if mc_noise == "mixed" else 0
-        return (mix + 8 * P * N ** 2 + 8 * P * P * N) / 2
+        alg = (8 * P * N ** 2 + 8 * P * P * N) / 2
+        mix = (4 * N ** 3) / 2 if mc_noise == "mixed" else 0
+        return alg, alg + mix
     if synth == "ar":  # per temporal step
-        return 8 * P * N ** 2 + 4 * P * P * N
-    return None
+        f = 8 * P * N ** 2 + 4 * P * P * N
+        return f, f
+    return None, None
 
 
 def measure_reference():
@@ -132,6 +141,51 @@ def measure_rps(sim, niter, rep_sets=REP_SETS, reps=REPS_PER_SET,
     }
 
 
+def measure_comms():
+    """Recurring comms datapoint (VERDICT r3 #6): 16-QAM modem SEP/EVM and
+    GMI wall time over a 2^20-sample coherent fading series from the
+    public ``run()``. Walls are warm (each program runs once first)."""
+    import __graft_entry__ as g
+    import fast_tpu
+    from fast_tpu import comms
+
+    print("# comms: 16-QAM modem + GMI on a 2^20 coherent series",
+          file=sys.stderr)
+    sim = fast_tpu.Fast(g._flagship_params(
+        npxls=256, niter=1 << 20, nchunks=32, RNG="rbg", COHERENT=True))
+    sim.run()  # compile + one-time program load
+    t0 = time.time()
+    res = sim.run()
+    run_wall = time.time() - t0
+    field = np.asarray(res.power) / sim.diffraction_limit
+
+    def modem():
+        m = comms.Modulator(field, "16-QAM", EsN0=18,
+                            symbols_per_iter=32, rng=3)
+        m.run()
+        return m
+
+    modem()
+    t0 = time.time()
+    m = modem()
+    modem_wall = time.time() - t0
+
+    comms.generalised_mutual_information_qam(field, 16, 32, 18)
+    t0 = time.time()
+    gmi = comms.generalised_mutual_information_qam(field, 16, 32, 18)
+    gmi_wall = time.time() - t0
+    out = {
+        "comms_run_2e20_coherent_wall_s": round(run_wall, 2),
+        "comms_modem_sep_16qam": round(m.sep, 4),
+        "comms_modem_evm_16qam": round(m.evm, 4),
+        "comms_modem_wall_s_2e20x32sym": round(modem_wall, 2),
+        "comms_gmi_bits_16qam": round(float(gmi), 3),
+        "comms_gmi_wall_s_2e20": round(gmi_wall, 2),
+    }
+    print(f"#   {out}", file=sys.stderr)
+    return out
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -170,23 +224,47 @@ def main():
         npxls=512, niter=8192, nchunks=1, RNG="rbg", SYNTH=synth))
     r512 = measure_rps(sim512, 8192)
 
+    print("# 512^2 default config (SYNTH='auto')", file=sys.stderr)
+    sim_def512 = fast_tpu.Fast(g._flagship_params(
+        npxls=512, niter=8192, nchunks=1))
+    r_def512 = measure_rps(sim_def512, 8192, rep_sets=3)
+
+    print("# 1024^2 iid, 4 m pupil (huge-pupil colfac tile fallback)",
+          file=sys.stderr)
+    # 400-px pupil -> P=512 >= 384: no candidate tile fits the VMEM
+    # budget, exercising colfac_tile_select's smallest-tile fallback
+    sim1k = fast_tpu.Fast(g._flagship_params(
+        npxls=1024, niter=2048, nchunks=1, RNG="rbg", SYNTH=synth,
+        D_GROUND=4.0, DSUBAP=0.5))
+    r1k = measure_rps(sim1k, 2048, rep_sets=3, reps=1)
+
     print("# 256^2 temporal AR frozen flow", file=sys.stderr)
     sim_t = fast_tpu.Fast(g._flagship_params(
         npxls=256, niter=16384, nchunks=64, RNG="rbg", TEMPORAL=True,
         TEMPORAL_SYNTH="ar", DT=0.001))
     r_t = measure_rps(sim_t, 16384, rep_sets=5, reps=1, temporal=True)
 
+    comms = measure_comms()
+
     mc_noise = sim.params.get("MC_NOISE", "mixed")
 
-    def tfl(rate, synth_name, s, kind="iid"):
-        f = kernel_flops_per_screen(
+    def tfl(rate, synth_name, s):
+        alg, total = kernel_flops_per_screen(
             synth_name, s.Npxls, s.Npxls_pup, mc_noise)
-        return round(rate * f / 1e12, 2) if f else None
+        if not total:
+            return None, None
+        return round(rate * alg / 1e12, 2), round(rate * total / 1e12, 2)
 
-    tflops_256 = tfl(r256["best"], sim._synth, sim)
-    tflops_512 = tfl(r512["best"], sim512._synth, sim512)
-    tflops_ar = tfl(r_t["best"], "ar", sim_t)
-    tflops_def = tfl(r_def["best"], sim_def._synth, sim_def)
+    def mfu(tflops):
+        return round(tflops / peak, 4) if peak and tflops else None
+
+    _, tflops_256 = tfl(r256["best"], sim._synth, sim)
+    _, tflops_512 = tfl(r512["best"], sim512._synth, sim512)
+    _, tflops_1k = tfl(r1k["best"], sim1k._synth, sim1k)
+    _, tflops_ar = tfl(r_t["best"], "ar", sim_t)
+    tflops_def_alg, tflops_def = tfl(r_def["best"], sim_def._synth, sim_def)
+    tflops_def512_alg, tflops_def512 = tfl(
+        r_def512["best"], sim_def512._synth, sim_def512)
 
     perf = {
         "device_kind": dev.device_kind,
@@ -195,18 +273,28 @@ def main():
         "mc_noise": mc_noise,
         "tflops_256": tflops_256,
         "tflops_512": tflops_512,
-        "tflops_default": tflops_def,
+        "tflops_1024": tflops_1k,
+        # _alg counts only the algorithmic dots (color+DFT+detector);
+        # _total also counts the 4N^3 noise-mixing dot (MXU work, not
+        # algorithm) — see kernel_flops_per_screen
+        "tflops_default_alg": tflops_def_alg,
+        "tflops_default_total": tflops_def,
+        "tflops_default512_alg": tflops_def512_alg,
+        "tflops_default512_total": tflops_def512,
         "tflops_ar_step": tflops_ar,
-        "mfu_256": (round(tflops_256 / peak, 4)
-                    if peak and tflops_256 else None),
-        "mfu_512": (round(tflops_512 / peak, 4)
-                    if peak and tflops_512 else None),
-        "mfu_ar": (round(tflops_ar / peak, 4)
-                   if peak and tflops_ar else None),
+        "mfu_256": mfu(tflops_256),
+        "mfu_512": mfu(tflops_512),
+        "mfu_1024": mfu(tflops_1k),
+        "mfu_default_alg": mfu(tflops_def_alg),
+        "mfu_default_total": mfu(tflops_def),
+        "mfu_default512_alg": mfu(tflops_def512_alg),
+        "mfu_default512_total": mfu(tflops_def512),
+        "mfu_ar": mfu(tflops_ar),
         "sets_256": r256["sets"],
         "median_256": round(r256["median"], 1),
         "sets_512": r512["sets"],
         "median_512": round(r512["median"], 1),
+        "sets_1024": r1k["sets"],
         "spread_warning": bool(r256["spread_warning"]
                                or r512["spread_warning"]),
     }
@@ -218,8 +306,11 @@ def main():
         "vs_baseline": round(r256["best"] / ref_rps, 1),
         "secondary": {
             "mc_realizations_per_sec_512sq_chip": round(r512["best"], 1),
+            "mc_realizations_per_sec_1024sq_chip": round(r1k["best"], 1),
             "temporal_ar_steps_per_sec_256sq": round(r_t["best"], 1),
             "default_config_rps_256sq": round(r_def["best"], 1),
+            "default_config_rps_512sq": round(r_def512["best"], 1),
+            **comms,
         },
         "perf": perf,
     }))

@@ -517,6 +517,10 @@ class Fast:
         """Cast static fields for the hot path (float32 by default)."""
         # static fields stay host-side numpy: they embed as compile-time
         # constants in the jitted programs (no device round-trips at trace)
+        # bump the table version: downstream device-side caches (the scan
+        # runner's pinned factor stacks, packed colfac tables) key on this
+        # so regenerated tables are never silently reused stale
+        self._tables_version = getattr(self, "_tables_version", 0) + 1
         dt = np.dtype(str(self.dtype))
         self._sqrt_psd = np.sqrt(self.powerspec).astype(dt)
         self._pm = (self.pupil * self.pupil_mode).astype(dt)
@@ -828,8 +832,13 @@ class Fast:
             L_layers = len(self.h)
             N = self.Npxls
             P = -(-self.Npxls_pup // 128) * 128
+            # worst-case step unroll the fused kernel may pick (the actual
+            # k divides NITER and is <= this cap)
+            from .ops import pallas_synth
+            k_cap = pallas_synth._AR_K_CAP if N <= 256 else 4
             vmem_need = ((4 * 2 * L_layers * N + 3 * P) * N
-                         + 2 * P * P) * 4
+                         + 2 * P * P
+                         + 2 * k_cap * N * N + 2 * P * k_cap * N) * 4
             stream = False
             if jax.default_backend() == "tpu":
                 # VMEM-resident fused kernel when the whole state fits;

@@ -55,9 +55,20 @@ def equivalent_layers(h, p, L, w=None):
         sel = ix == i + 1
         psum = p[sel].sum()
         cn2_el[i] = psum
-        h_el[i] = ((p[sel] * h[sel] ** (5 / 3)).sum() / psum) ** (3 / 5)
-        if w is not None:
-            w_el[i] = ((p[sel] * w[sel] ** (5 / 3)).sum() / psum) ** (3 / 5)
+        if psum > 0:
+            h_el[i] = ((p[sel] * h[sel] ** (5 / 3)).sum() / psum) ** (3 / 5)
+            if w is not None:
+                w_el[i] = ((p[sel] * w[sel] ** (5 / 3)).sum() / psum) ** (3 / 5)
+        else:
+            # Empty slab (no points, or Cn2 identically zero there): emit a
+            # zero-weight layer at the slab centre instead of dividing by
+            # zero.  Weight 0 contributes nothing to any 5/3 moment, so
+            # isoplanatic angle and coherence time are still conserved
+            # exactly.  (The reference's vendored copy NaNs here,
+            # fast/turbulence_models.py:83-99 — deliberate fix.)
+            h_el[i] = h.min() + (i + 0.5) * hstep
+            if w is not None:
+                w_el[i] = float(np.interp(h_el[i], h, w))
 
     if w is not None:
         return h_el, cn2_el, w_el

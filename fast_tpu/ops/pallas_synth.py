@@ -821,7 +821,13 @@ def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
                 kern(seed_ref, a0_ref, ph_ref, None, wr_ref, wi_ref,
                      pm_ref, out_ref, afin_ref, st_ref)
 
-        need = (4 * 2 * LN * N + 3 * P * N + 2 * P * P) * 4
+        # VMEM budget: four (2, LN, N) tensors (a0/ph blocks, afin out, st
+        # scratch) + ns block + W tables + pupil, PLUS the k-step unroll
+        # live values (Ar/Ai concats ~ 2*k*N^2 and GR/GI ~ 2*P*k*N) that
+        # the batched DFT materialises inside the kernel body.
+        need = (4 * 2 * LN * N + (LN * N if boiling else 0)
+                + 3 * P * N + 2 * P * P
+                + 2 * k_steps * N * N + 2 * P * k_steps * N) * 4
         out, afin = pl.pallas_call(
             _shim,
             grid_spec=grid_spec,

@@ -31,6 +31,7 @@ try:  # pragma: no cover - optional dependency
     _skyfield = True
 except ImportError:
     _skyfield = False
+    _sf_load = _sf_wgs84 = None  # replaceable by a test fixture backend
 
 _C = 2.997925e8
 _R_EARTH = 6.371009e6

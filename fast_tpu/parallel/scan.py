@@ -112,13 +112,66 @@ def run_scan_sharded(sims, mesh, seed=None):
     subharm = bool(s0.subharmonics)
     precision = s0.params["PRECISION"]
     mc_noise = s0.params.get("MC_NOISE", "gauss")
-    # shared tables (same grid geometry) embed as constants; per-sim
-    # complex tables ship as stacked (real, imag) floats — complex arrays
-    # cannot cross program boundaries on all TPU runtimes
+    dt = np.dtype(str(s0.dtype))
+
+    # Device-resident table cache: a repeat scan over the same sims/mesh
+    # reuses the device-put table pytree instead of re-shipping the
+    # (possibly 100+ MB) factor stacks host->device on every call. Keyed
+    # on each sim's identity + ``_tables_version`` (bumped whenever a
+    # sim's tables regenerate) so mutated sims never reuse stale tables.
+    cache_key = (mesh, synth, subharm, precision, mc_noise, b_local,
+                 tuple((id(s), getattr(s, "_tables_version", 0))
+                       for s in sims))
+    cached = getattr(s0, "_scan_device_cache", None)
+    if cached is not None and cached[0] == cache_key:
+        C, pc_tiles = cached[1], cached[2]
+    else:
+        C, pc_tiles = _build_scan_tables(
+            sims, synth, subharm, precision, mc_noise, b_local, dt)
+        C = _device_put_tables(C, mesh)
+        s0._scan_device_cache = (cache_key, C, pc_tiles)
+
+    key = make_key(seed if seed is not None else s0.seed,
+                   impl=s0.params["RNG"])
+
+    local_sims = nsims // n_scan
+    rng_impl = {"threefry": "threefry2x32"}.get(
+        s0.params["RNG"], s0.params["RNG"])
+
+    with mesh:
+        out = _scan_program(
+            jax.random.key_data(key), C, mesh=mesh, synth=synth,
+            subharm=subharm, coherent=coherent, precision=precision,
+            mc_noise=mc_noise, nchunks=nchunks, b_local=b_local,
+            local_sims=local_sims, crop=crop, df=df, dx=float(dx),
+            rng_impl=rng_impl, pc_tiles=pc_tiles, dtype=str(s0.dtype))
+
+    from ..engine import Fast
+    out = Fast._combine_complex(out, coherent)
+    results = []
+    for i, s in enumerate(sims):
+        s.result = FastResult(out[i], s.diffraction_limit)
+        s.I = s.result.power
+        results.append(s.result)
+    return results
+
+
+def _build_scan_tables(sims, synth, subharm, precision, mc_noise, b_local,
+                       dt):
+    """Assemble the host-side per-sim table pytree for one scan program.
+
+    All per-sim tables ship in one traced pytree through a module-level
+    jitted program — repeat scans with the same geometry are jit cache
+    hits (no Python re-trace), and the log-amplitude series is drawn
+    in-graph per device. Shared tables (same grid geometry) ship once;
+    per-sim complex tables ship as stacked (real, imag) floats — complex
+    arrays cannot cross program boundaries on all TPU runtimes.
+    """
+    s0 = sims[0]
     W = s0._W_pruned if synth in ("matmul", "colfac") else None
     W_pf = s0._W_pruned if synth == "pallas_fused" else None
-    dt = np.dtype(str(s0.dtype))
     pc_tiles = None
+    w2_colfac = None
     if synth == "colfac":
         Ls = np.stack([np.asarray(s._L_colfac) for s in sims])
         l2 = np.stack([Ls.real, Ls.imag]).astype(dt)  # (2, nsims, N, Np, Np)
@@ -130,7 +183,8 @@ def run_scan_sharded(sims, mesh, seed=None):
         from ..ops import pallas_synth
         packed = []
         for s in sims:
-            key_pk = (precision, mc_noise)
+            key_pk = (precision, mc_noise,
+                      getattr(s, "_tables_version", 0))
             cache = getattr(s, "_colfac_packed", None)
             if cache is None or cache[0] != key_pk:
                 s._colfac_packed = (key_pk, pallas_synth.colfac_pack_tables(
@@ -155,17 +209,6 @@ def run_scan_sharded(sims, mesh, seed=None):
     pms = np.stack([s._pm for s in sims])
     norms = np.asarray([s._norm for s in sims], np.float32)
 
-    key = make_key(seed if seed is not None else s0.seed,
-                   impl=s0.params["RNG"])
-
-    local_sims = nsims // n_scan
-    rng_impl = {"threefry": "threefry2x32"}.get(
-        s0.params["RNG"], s0.params["RNG"])
-
-    # all per-sim tables ship in one traced pytree through a module-level
-    # jitted program — repeat scans with the same geometry are jit cache
-    # hits (no Python re-trace), and the log-amplitude series is drawn
-    # in-graph per device
     C = dict(sqrt_psds=sqrt_psds, pms=pms, norms=norms, l2=l2,
              sqrt_psd_shs=sqrt_psd_shs,
              logamp_vars=np.asarray([s.logamp_var for s in sims], dt))
@@ -181,23 +224,28 @@ def run_scan_sharded(sims, mesh, seed=None):
         M = np.asarray(sh_modes)
         C["sh_modes2"] = np.stack([M.real, M.imag]).astype(dt)
         C["sh_df"] = np.asarray(sh_df, dt)
+    return C, pc_tiles
 
-    with mesh:
-        out = _scan_program(
-            jax.random.key_data(key), C, mesh=mesh, synth=synth,
-            subharm=subharm, coherent=coherent, precision=precision,
-            mc_noise=mc_noise, nchunks=nchunks, b_local=b_local,
-            local_sims=local_sims, crop=crop, df=df, dx=float(dx),
-            rng_impl=rng_impl, pc_tiles=pc_tiles, dtype=str(s0.dtype))
 
-    from ..engine import Fast
-    out = Fast._combine_complex(out, coherent)
-    results = []
-    for i, s in enumerate(sims):
-        s.result = FastResult(out[i], s.diffraction_limit)
-        s.I = s.result.power
-        results.append(s.result)
-    return results
+# sharding specs of the per-sim tables inside the scan program: sims live
+# on the ``scan`` mesh axis (axis 0, except the factor stack's axis 1);
+# everything else is replicated. ``_device_put_tables`` pins each table
+# on device with exactly the layout the shard_map consumes, so a cached
+# repeat call transfers nothing.
+_SCAN_TABLE_SPECS = {
+    "sqrt_psds": P("scan"), "pms": P("scan"), "norms": P("scan"),
+    "logamp_vars": P("scan"), "sqrt_psd_shs": P("scan"),
+    "l2": P(None, "scan"),
+}
+
+
+def _device_put_tables(C, mesh):
+    from jax.sharding import NamedSharding
+    return {
+        k: jax.device_put(v, NamedSharding(mesh,
+                                           _SCAN_TABLE_SPECS.get(k, P())))
+        for k, v in C.items()
+    }
 
 
 @functools.partial(

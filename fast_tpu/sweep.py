@@ -175,6 +175,7 @@ def build_sweep(base_params, samples):
             s._sqrt_psd_sh = np.sqrt(s.powerspec_subharm).astype(s.dtype)
             # _sh_modes / _sh_df are grid-only and shared with the base
         s._synth = s.params["SYNTH"]
+        s._tables_version = getattr(s, "_tables_version", 0) + 1
         s._sqrt_psd = np.sqrt(powerspec_b[i]).astype(s.dtype)
         if s._synth in ("matmul", "pallas", "pallas_fused"):
             s._W_pruned = synthesis.pruned_ift2_matrix(

@@ -100,3 +100,30 @@ def test_l_path():
     assert np.isclose(funcs.l_path(500e3, 0), 500e3)
     # larger zenith angle -> longer path
     assert funcs.l_path(500e3, 60) > funcs.l_path(500e3, 30) > 500e3
+
+
+def test_equivalent_layers_empty_slab():
+    # concentrated profile: all Cn2 in the lowest 2 km of a 0-30 km span
+    # -> upper slabs are empty. The reference's vendored copy divides by
+    # zero there (fast/turbulence_models.py:83-99); here empty slabs get
+    # zero weight and a finite slab-centre height/wind so the 5/3 moments
+    # (isoplanatic angle, coherence time) are conserved exactly.
+    from fast_tpu.models import atmosphere
+
+    h = np.arange(0, 30000.0, 100.0)
+    p = np.where(h < 2000.0, 1e-15, 0.0)
+    w = atmosphere.Bufton_wind(h)
+    h_el, cn2_el, w_el = atmosphere.equivalent_layers(h, p, 6, w=w)
+    assert np.isfinite(h_el).all()
+    assert np.isfinite(cn2_el).all()
+    assert np.isfinite(w_el).all()
+    # total Cn2 conserved; empty slabs carry zero weight
+    np.testing.assert_allclose(cn2_el.sum(), p.sum())
+    assert (cn2_el[1:] == 0).all()
+    # 5/3 moments conserved (zero-weight layers contribute nothing)
+    np.testing.assert_allclose(
+        (cn2_el * h_el ** (5 / 3)).sum(), (p * h ** (5 / 3)).sum(),
+        rtol=1e-12)
+    np.testing.assert_allclose(
+        (cn2_el * w_el ** (5 / 3)).sum(), (p * w ** (5 / 3)).sum(),
+        rtol=1e-12)
