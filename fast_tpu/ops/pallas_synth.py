@@ -654,6 +654,186 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
              jnp.concatenate([out[:, 1], out[:, 3]])], axis=-1)
 
 
+def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
+                                 out_ref, accr_ref, acci_ref, g_ref, *,
+                                 m_tile, n_mb, precision, premixed=False):
+    """Merged-dot variant of :func:`_colfac_detect_kernel`.
+
+    Identical algorithm and *identical random variables* (same PRNG seed
+    schedule, same draw shapes in the same order), restructured for MXU
+    issue efficiency: the four per-column (b,P)x(P,P) complex-part dots
+    merge into ONE (b,2P)x(2P,2P) dot against the real-block matrix
+    ``S_m = [[L_r^T, L_i^T], [-L_i^T, L_r^T]]`` (mixing premultiplied into
+    each block for 'mixed' noise), and the four K=m column-contraction
+    dots merge into ONE K=2m dot against the stacked W table. Per program:
+    ``m_tile + 1`` MXU issues instead of ``4*m_tile + 4``, each with 2x
+    the contraction depth — same FLOPs, a quarter of the dot-issue
+    latency the roofline analysis identified as the record path's bound
+    (BASELINE.md round 3).
+    """
+    bb = pl.program_id(0)
+    mb = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], bb * n_mb + mb)
+
+    b_tile = accr_ref.shape[0]
+    P = accr_ref.shape[1]
+
+    @pl.when(mb == 0)
+    def _init():
+        accr_ref[...] = jnp.zeros_like(accr_ref)
+        acci_ref[...] = jnp.zeros_like(acci_ref)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def draw():
+        # same two (b, P) bit draws per column as the split kernel ->
+        # identical random variables
+        bits1 = pltpu.bitcast(pltpu.prng_random_bits((b_tile, P)),
+                              jnp.uint32)
+        bits2 = pltpu.bitcast(pltpu.prng_random_bits((b_tile, P)),
+                              jnp.uint32)
+        i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+        i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+        if premixed:
+            s3 = np.float32(np.sqrt(3.0))
+            z1 = i1.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+            z2 = i2.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+        else:
+            u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+            u2 = i2.astype(jnp.float32) * (2.0 ** -24)
+            r = jnp.sqrt(-2.0 * jnp.log(u1))
+            theta = (2.0 * np.pi) * u2
+            z1 = r * jnp.cos(theta)
+            z2 = r * jnp.sin(theta)
+        return jnp.concatenate([z1, z2], axis=1)  # (b, 2P) = [z_r | z_i]
+
+    sdt = s_ref.dtype
+    gdt = g_ref.dtype
+
+    # FAST_TPU_COLFAC_PROBE=noprng: occupancy probe ONLY (wrong statistics
+    # — one draw reused for every column). Isolates the per-column VPU
+    # PRNG+convert cost from the MXU dots for the roofline analysis in
+    # BASELINE.md; read at trace time, never set in production.
+    import os
+    probe_noprng = os.environ.get("FAST_TPU_COLFAC_PROBE") == "noprng"
+    z_fixed = draw().astype(sdt) if probe_noprng else None
+
+    def col(m, _):
+        z = z_fixed if probe_noprng else draw().astype(sdt)
+        g = dot(z, s_ref[m])  # (b, 2P) = [G_r | G_i] for column m
+        g_ref[0, m] = g[:, :P].astype(gdt)
+        g_ref[1, m] = g[:, P:].astype(gdt)
+        return 0
+
+    jax.lax.fori_loop(0, m_tile, col, 0)
+
+    def dot_m(g, w):  # contract the leading (2m) axis
+        return jax.lax.dot_general(
+            g, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    g2 = g_ref[...].reshape(2 * m_tile, b_tile * P)
+    w = w3_ref[...].reshape(2 * m_tile, 2 * P)  # rows: [wr|wi], [-wi|wr]
+    pp = dot_m(g2, w)  # (b*P, 2P) = [screens_r | screens_i]
+    accr_ref[...] += pp[:, :P].reshape(b_tile, P, P)
+    acci_ref[...] += pp[:, P:].reshape(b_tile, P, P)
+
+    @pl.when(mb == n_mb - 1)
+    def _detect():
+        pm = pm_ref[:]
+        phi1 = accr_ref[...]
+        phi2 = acci_ref[...]
+        if sh_ref is not None:
+            phi1 = phi1 + sh_ref[:, 0]
+            phi2 = phi2 + sh_ref[:, 1]
+
+        def reduce2(x):  # (b_tile, P, P) -> (b_tile, 1), all ops >= 2-D
+            return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
+
+        c1r = reduce2(pm[None] * jnp.cos(phi1))
+        c1i = reduce2(pm[None] * jnp.sin(phi1))
+        c2r = reduce2(pm[None] * jnp.cos(phi2))
+        c2i = reduce2(pm[None] * jnp.sin(phi2))
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b_tile, _LANE), 1)
+        packed = (jnp.where(lane == 0, c1r, 0.0)
+                  + jnp.where(lane == 1, c1i, 0.0)
+                  + jnp.where(lane == 2, c2r, 0.0)
+                  + jnp.where(lane == 3, c2i, 0.0))
+        out_ref[...] = packed
+
+
+@functools.partial(jax.jit, static_argnames=("nbatch", "b_tile", "m_tile",
+                                             "interpret", "precision",
+                                             "premixed"))
+def _colfac_detect_call_merged(seed, s, w3, pm, nbatch, b_tile, m_tile,
+                               interpret=False, precision="default",
+                               sh=None, premixed=False):
+    with jax.enable_x64(False):
+        ncols = s.shape[0]
+        P = s.shape[1] // 2
+        n_bb = nbatch // b_tile
+        n_mb = ncols // m_tile
+        in_specs = [
+            pl.BlockSpec((m_tile, 2 * P, 2 * P),
+                         lambda bb, mb, *_: (mb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, m_tile, 2 * P), lambda bb, mb, *_: (0, mb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, P), lambda bb, mb, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [seed, s, w3, pm]
+        if sh is not None:
+            in_specs.append(
+                pl.BlockSpec((b_tile, 2, P, P),
+                             lambda bb, mb, *_: (bb, 0, 0, 0),
+                             memory_space=pltpu.VMEM))
+            operands.append(sh)
+        gdt = s.dtype  # G scratch matches the table dtype
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_bb, n_mb),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, b_tile, _LANE), lambda bb, mb, *_: (bb, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b_tile, P, P), jnp.float32),
+                pltpu.VMEM((b_tile, P, P), jnp.float32),
+                pltpu.VMEM((2, m_tile, b_tile, P), gdt),
+            ],
+        )
+        kern = functools.partial(
+            _colfac_detect_kernel_merged, m_tile=m_tile, n_mb=n_mb,
+            precision=_precision(precision), premixed=premixed)
+
+        def _shim(seed_ref, s_ref, w3_ref, pm_ref, *rest):
+            rest = list(rest)
+            sh_ref = rest.pop(0) if sh is not None else None
+            out_ref, a, b, g = rest
+            kern(seed_ref, s_ref, w3_ref, pm_ref, sh_ref, out_ref.at[0],
+                 a, b, g)
+
+        [out] = pl.pallas_call(
+            _shim,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_bb, b_tile, _LANE), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(*operands)
+        out = out.reshape(nbatch, _LANE)[:, :4]
+        return jnp.stack(
+            [jnp.concatenate([out[:, 0], out[:, 2]]),
+             jnp.concatenate([out[:, 1], out[:, 3]])], axis=-1)
+
+
 _AR_K_CAP = 16  # step-unroll cap for the fused AR kernel (N <= 256)
 
 
@@ -889,6 +1069,255 @@ def ar_flow_fused(seed, a0, step_phasor_scaled, noise_scale, W, pupil_mode,
     return out, a_final
 
 
+def _ar_flow_kernel_batch(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
+                          pm_ref, out_ref, afin_ref, st_ref, *, nseries,
+                          nlayers, N, ngrid, k_steps, boiling, noise,
+                          precision):
+    """Series-batched AR(1) frozen flow: ``nseries`` independent
+    trajectories evolve together per time step.
+
+    State is (2, B*L*N, N) in VMEM scratch (series-major rows); the
+    phasor/noise tables are per-series (different configurations — orbit
+    samples — may batch together). Per step the B per-series layer sums
+    concatenate into single (P, N) x (N, k*B*N) DFT-side dots — B times
+    the per-step MXU work of the single-series kernel, which is
+    issue-latency-bound at one series (BASELINE.md round 3 roofline).
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        st_ref[...] = a0_ref[...]
+
+    pr = ph_ref[0]
+    pi = ph_ref[1]
+    wr = wr_ref[:]
+    wi = wi_ref[:]
+    if boiling:
+        ns = ns_ref[:]
+        pltpu.prng_seed(seed_ref[0], t)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    def dot_t(a, b):  # a @ b.T
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision)
+
+    nr = st_ref[0]
+    ni = st_ref[1]
+    A_rs, A_is = [], []  # flat over (k, series)
+    for k in range(k_steps):
+        ar, ai = nr, ni
+        nr = ar * pr - ai * pi
+        ni = ar * pi + ai * pr
+        if boiling:
+            shape = nr.shape  # (B*L*N, N)
+            bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+            i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+            i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+            if noise == "uniform":
+                s3 = np.float32(np.sqrt(3.0))
+                z1 = i1.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+                z2 = i2.astype(jnp.float32) * (s3 * 2.0 ** -23) - s3
+            else:
+                u1 = i1.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
+                u2 = i2.astype(jnp.float32) * (2.0 ** -24)
+                r = jnp.sqrt(-2.0 * jnp.log(u1))
+                theta = (2.0 * np.pi) * u2
+                z1 = r * jnp.cos(theta)
+                z2 = r * jnp.sin(theta)
+            nr = nr + z1 * ns
+            ni = ni + z2 * ns
+        # per-series layer sums via static row slices
+        for s in range(nseries):
+            base = s * nlayers * N
+            A_r = nr[base:base + N]
+            A_i = ni[base:base + N]
+            for l in range(1, nlayers):
+                A_r = A_r + nr[base + l * N:base + (l + 1) * N]
+                A_i = A_i + ni[base + l * N:base + (l + 1) * N]
+            A_rs.append(A_r)
+            A_is.append(A_i)
+    st_ref[0] = nr
+    st_ref[1] = ni
+
+    # batch all (k, series) DFT-side dots into single wide MXU dots
+    Ar_cat = A_rs[0] if len(A_rs) == 1 else jnp.concatenate(A_rs, axis=1)
+    Ai_cat = A_is[0] if len(A_is) == 1 else jnp.concatenate(A_is, axis=1)
+    GR = dot(wr, Ar_cat) - dot(wi, Ai_cat)   # (P, k*B*N)
+    GI = dot(wr, Ai_cat) + dot(wi, Ar_cat)
+    for k in range(k_steps):
+        for s in range(nseries):
+            j = k * nseries + s
+            grk = GR[:, j * N:(j + 1) * N]
+            gik = GI[:, j * N:(j + 1) * N]
+            phi = dot_t(grk, wr) - dot_t(gik, wi)
+            pm = pm_ref[s]
+            packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi)), 0.0)
+                      + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi)),
+                                  0.0))
+            out_ref[k, s] = packed
+
+    @pl.when(t == ngrid - 1)
+    def _final():
+        afin_ref[...] = st_ref[...]
+
+
+def ar_batch_feasible(nseries, nlayers, N, npup, boiling):
+    """VMEM feasibility + step-unroll pick for the batched AR kernel.
+
+    Returns ``k_steps_cap`` (0 if the batch does not fit VMEM): four
+    (2, B*L*N, N) f32 tensors (a0/ph in, state scratch, final-state out)
+    + the noise table + per-k concat operands.
+    """
+    P = _round_up(npup, _LANE)
+    base = (4 * 2 + (1 if boiling else 0)) * nseries * nlayers * N * N * 4
+    per_k = (2 * nseries * N * N + 2 * P * nseries * N) * 4
+    fixed = (3 * P * N + nseries * P * P) * 4
+    for k in (8, 4, 2, 1):
+        if base + fixed + k * per_k <= 95e6:
+            return k
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("nsteps", "nseries", "nlayers",
+                                             "interpret", "precision",
+                                             "noise"))
+def _ar_flow_call_batch(seed, a0, ph, ns, wr, wi, pm, nsteps, nseries,
+                        nlayers, interpret=False, precision="default",
+                        noise="uniform"):
+    with jax.enable_x64(False):
+        BLN, N = a0.shape[1:]
+        P = wr.shape[0]
+        boiling = ns is not None
+        k_cap = ar_batch_feasible(nseries, nlayers, N, P, boiling)
+        if k_cap == 0:
+            raise ValueError(
+                f"batched AR state ({nseries} series x {nlayers} layers x "
+                f"{N}^2) exceeds VMEM; reduce the series batch")
+        k_steps = _auto_tile(nsteps, k_cap)
+        ngrid = nsteps // k_steps
+        in_specs = [
+            pl.BlockSpec((2, BLN, N), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, BLN, N), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [seed, a0, ph]
+        if boiling:
+            in_specs.append(pl.BlockSpec((BLN, N), lambda t, *_: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(ns)
+        in_specs += [
+            pl.BlockSpec((P, N), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, N), lambda t, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nseries, P, P), lambda t, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [wr, wi, pm]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(ngrid,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((k_steps, nseries, 1, _LANE),
+                             lambda t, *_: (t, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, BLN, N), lambda t, *_: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((2, BLN, N), jnp.float32)],
+        )
+        kern = functools.partial(
+            _ar_flow_kernel_batch, nseries=nseries, nlayers=nlayers, N=N,
+            ngrid=ngrid, k_steps=k_steps, boiling=boiling, noise=noise,
+            precision=_precision(precision))
+
+        if boiling:
+            def _shim(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
+                      pm_ref, out_ref, afin_ref, st_ref):
+                kern(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
+                     pm_ref, out_ref, afin_ref, st_ref)
+        else:
+            def _shim(seed_ref, a0_ref, ph_ref, wr_ref, wi_ref, pm_ref,
+                      out_ref, afin_ref, st_ref):
+                kern(seed_ref, a0_ref, ph_ref, None, wr_ref, wi_ref,
+                     pm_ref, out_ref, afin_ref, st_ref)
+
+        need = ((4 * 2 + (1 if boiling else 0)) * BLN * N
+                + 3 * P * N + nseries * P * P
+                + k_steps * (2 * nseries * N * N + 2 * P * nseries * N)) * 4
+        out, afin = pl.pallas_call(
+            _shim,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((nsteps, nseries, 1, _LANE),
+                                     jnp.float32),
+                jax.ShapeDtypeStruct((2, BLN, N), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(64 * 1024 * 1024, int(need * 1.3)),
+                dimension_semantics=("arbitrary",)),
+            interpret=pltpu.InterpretParams() if interpret else False,
+        )(*operands)
+        return out[:, :, 0, :2], afin
+
+
+def ar_flow_fused_batch(seed, a0, step_phasor_scaled, noise_scale, W,
+                        pupil_modes, nsteps, interpret=False,
+                        precision="default", noise="uniform"):
+    """``B`` independent AR(1) frozen-flow series from ONE fused kernel.
+
+    Batched counterpart of :func:`ar_flow_fused` (identical per-series
+    process): all leading-axis-``B`` inputs are per-series — different
+    orbit samples / configurations sharing grid geometry batch together.
+
+    Args:
+        a0: (B, nlayers, N, N) complex initial Fourier states.
+        step_phasor_scaled: (B, nlayers, N, N) complex per-series
+            ``alpha * e^{i kappa . v dt}``.
+        noise_scale: (B, nlayers, N, N) real per-series
+            ``sqrt(1 - alpha^2) * sqrt(PSD) * df``, or None (pure frozen
+            flow).
+        W: (Npup, N) complex pruned inverse-DFT matrix (shared grid).
+        pupil_modes: (B, Npup, Npup) per-series pupil*mode weights.
+
+    Returns:
+        (couplings, a_final): (nsteps, B, 2) float32 unnormalised
+        couplings and the (B, nlayers, N, N) complex final states.
+    """
+    B, L, N, _ = a0.shape
+    npup = W.shape[0]
+    P = _round_up(npup, _LANE)
+    a02 = jnp.stack([jnp.real(a0), jnp.imag(a0)]).reshape(2, B * L * N, N) \
+        .astype(jnp.float32)
+    ph2 = jnp.stack([jnp.real(step_phasor_scaled),
+                     jnp.imag(step_phasor_scaled)]) \
+        .reshape(2, B * L * N, N).astype(jnp.float32)
+    ns = None
+    if noise_scale is not None:
+        ns = jnp.asarray(noise_scale, jnp.float32).reshape(B * L * N, N)
+    W = jnp.asarray(W)
+    wr = jnp.pad(jnp.real(W).astype(jnp.float32), ((0, P - npup), (0, 0)))
+    wi = jnp.pad(jnp.imag(W).astype(jnp.float32), ((0, P - npup), (0, 0)))
+    pms = jnp.pad(jnp.asarray(pupil_modes, jnp.float32),
+                  ((0, 0), (0, P - npup), (0, P - npup)))
+    seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    out, afin = _ar_flow_call_batch(
+        seed, a02, ph2, ns, wr, wi, pms, int(nsteps), int(B), int(L),
+        interpret=interpret, precision=precision, noise=noise)
+    a_final = jax.lax.complex(afin[0], afin[1]).reshape(B, L, N, N)
+    return out, a_final
+
+
 def colfac_tile_select(nbatch, ncols, npup, precision, b_tile=64,
                        m_tile=None):
     """Static (b_tile, m_tile) selection for the colfac kernel.
@@ -956,24 +1385,112 @@ def colfac_pack_tables(L, W, precision, noise="gauss"):
     return l2.astype(tdt), w2.astype(tdt)
 
 
+def colfac_pack_tables_merged(L, W, precision, noise="gauss"):
+    """Pack the colfac tables in the merged-dot layout (host numpy).
+
+    Per column the real-block matrix ``S_m = [[L_r^T, L_i^T],
+    [-L_i^T, L_r^T]]`` (2P, 2P) such that ``[z_r | z_i] @ S_m =
+    [G_r | G_i]`` — the four complex-part dots of the split layout as one
+    dense dot (every block product is needed; no wasted FLOPs). With
+    ``noise='mixed'`` the orthogonal mix premultiplies each block
+    (``(z @ M) @ L^T = z @ (M L^T)``) — identical random variables, no
+    mixing dot. ``w3`` is (2, ncols, 2P): rows ``[W_r^T | W_i^T]`` and
+    ``[-W_i^T | W_r^T]``, consumed as one stacked K=2m contraction.
+    Table memory is 2x the split layout (each L part stored twice).
+    """
+    ncols, npup, _ = L.shape
+    P = _round_up(npup, _LANE)
+    tdt = np.float32 if precision != "default" else "bfloat16"
+    lrT = np.zeros((ncols, P, P), np.float32)
+    liT = np.zeros((ncols, P, P), np.float32)
+    lrT[:, :npup, :npup] = np.real(L).transpose(0, 2, 1)
+    liT[:, :npup, :npup] = np.imag(L).transpose(0, 2, 1)
+    if noise == "mixed":
+        M = _mixing_matrix(P)
+        lrT = np.einsum("ij,mjk->mik", M, lrT)
+        liT = np.einsum("ij,mjk->mik", M, liT)
+    S = np.zeros((ncols, 2 * P, 2 * P), np.float32)
+    S[:, :P, :P] = lrT
+    S[:, :P, P:] = liT
+    S[:, P:, :P] = -liT
+    S[:, P:, P:] = lrT
+    w3 = np.zeros((2, ncols, 2 * P), np.float32)
+    w3[0, :, :npup] = np.real(W).T
+    w3[0, :, P:P + npup] = np.imag(W).T
+    w3[1, :, :npup] = -np.imag(W).T
+    w3[1, :, P:P + npup] = np.real(W).T
+    return S.astype(tdt), w3.astype(tdt)
+
+
+def colfac_tile_select_merged(nbatch, ncols, npup, precision, b_tile=128,
+                              m_tile=None):
+    """Static (b_tile, m_tile) selection for the merged-dot colfac kernel.
+
+    Same contract as :func:`colfac_tile_select`; the VMEM model differs
+    (4 P^2 per column of streamed S block, double-buffered by the
+    pipeline, + the (2, m, b, P) G scratch + two f32 accumulators).
+    """
+    P = _round_up(npup, _LANE)
+    itemsize = 4 if precision != "default" else 2
+    if m_tile is None:
+
+        def vmem(b, m):
+            return (2 * b * P * P * 4            # f32 screen accumulators
+                    + 2 * m * b * P * itemsize   # G scratch
+                    + 2 * m * 4 * P * P * itemsize)  # S block, x2 buffered
+
+        for b_c, m_c in ((128, 128), (128, 64), (64, 64), (32, 64),
+                         (16, 64), (8, 64)):
+            if vmem(b_c, m_c) <= 55e6:
+                b_tile, m_tile = b_c, m_c
+                break
+        else:  # huge pupils: smallest tiles, let the compiler arbitrate
+            b_tile, m_tile = 8, 8
+    return _auto_tile(nbatch, b_tile), _auto_tile(ncols, m_tile)
+
+
+def colfac_layout(layout=None):
+    """Resolve the colfac kernel layout: 'merged' (default) or 'split'.
+
+    Override per-call or process-wide via ``FAST_TPU_COLFAC_LAYOUT``.
+    """
+    import os
+    if layout is None:
+        layout = os.environ.get("FAST_TPU_COLFAC_LAYOUT", "merged")
+    if layout not in ("merged", "split"):
+        raise ValueError(f"unknown colfac layout {layout!r}")
+    return layout
+
+
 def fused_colfac_detect_packed(seed, l2, w2, pupil_mode, nbatch, b_tile,
                                m_tile, interpret=False, precision="default",
-                               subharm_screens=None, noise="gauss"):
+                               subharm_screens=None, noise="gauss",
+                               layout=None):
     """Traced-table colfac kernel entry (e.g. inside ``shard_map``).
 
-    ``l2``/``w2`` from :func:`colfac_pack_tables` **with the same
+    ``l2``/``w2`` from :func:`colfac_pack_tables` (split layout) or
+    :func:`colfac_pack_tables_merged` (merged layout) **with the same
     ``noise`` argument** (may be traced arrays — per-configuration
     factors streamed through a mesh); ``pupil_mode`` is the *unpadded*
     (npup, npup) table, padded here (cheap, trace-safe). Tile sizes come
-    from :func:`colfac_tile_select` (host-static). With 'mixed' noise the
-    mix lives in the tables (premixed kernel — no mixing dot).
+    from the matching tile-select function (host-static). With 'mixed'
+    noise the mix lives in the tables (premixed kernel — no mixing dot).
+    The layout is inferred from the table shapes when not given (the two
+    packings are unambiguous: split ``w2`` is 3-D (2, ncols, P), merged
+    ``w3`` is (2, ncols, 2P) with matching ``l2``).
     """
-    P = l2.shape[-1]
     npup = pupil_mode.shape[0]
+    merged = l2.ndim == 3  # split l2 is (2, ncols, P, P); merged (n, 2P, 2P)
+    P = l2.shape[-1] // 2 if merged else l2.shape[-1]
     xp = np if isinstance(pupil_mode, np.ndarray) else jnp
     pm = xp.pad(xp.asarray(pupil_mode, xp.float32),
                 ((0, P - npup), (0, P - npup)))
     seed = jnp.asarray(seed, jnp.int32).reshape(1)
+    if merged:
+        return _colfac_detect_call_merged(
+            seed, l2, w2, pm, int(nbatch), int(b_tile), int(m_tile),
+            interpret=interpret, precision=precision, sh=subharm_screens,
+            premixed=(noise == "mixed"))
     return _colfac_detect_call(seed, l2, w2, pm, int(nbatch), int(b_tile),
                                int(m_tile), interpret=interpret,
                                precision=precision, sh=subharm_screens,
@@ -1204,9 +1721,9 @@ def ar_flow_streamed(seed, a0, step_phasor_scaled, noise_scale, W,
     return out, a_final
 
 
-def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
+def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=None,
                         m_tile=None, interpret=False, precision="default",
-                        subharm_screens=None, noise="gauss"):
+                        subharm_screens=None, noise="gauss", layout=None):
     """Monte Carlo couplings from colfac-basis noise, one fused kernel.
 
     Same distribution as ``synthesize_screens_colfac`` + detector — P*N
@@ -1214,14 +1731,24 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=64,
     block-by-block through VMEM and screens accumulated on-chip (never in
     HBM). Returns (2*nbatch, 2) float32 unnormalised couplings.
 
-    Tile selection per :func:`colfac_tile_select`. ``subharm_screens``
-    (from :func:`pad_subharm_screens`, (nbatch, 2, P, P)) adds per-screen
-    low-order subharmonic phase before the on-chip detector.
+    ``layout``: 'merged' (default — one dot per column + one K=2m
+    contraction, see :func:`_colfac_detect_kernel_merged`) or 'split'
+    (the round-2/3 four-dot kernel); identical random variables either
+    way. Tile selection per the matching tile-select function.
+    ``subharm_screens`` (from :func:`pad_subharm_screens`,
+    (nbatch, 2, P, P)) adds per-screen low-order subharmonic phase before
+    the on-chip detector.
     """
     ncols, npup, _ = L.shape
-    b_tile, m_tile = colfac_tile_select(nbatch, ncols, npup, precision,
-                                        b_tile, m_tile)
-    l2, w2 = colfac_pack_tables(L, W, precision, noise=noise)
+    layout = colfac_layout(layout)
+    if layout == "merged":
+        b_tile, m_tile = colfac_tile_select_merged(
+            nbatch, ncols, npup, precision, b_tile or 128, m_tile)
+        l2, w2 = colfac_pack_tables_merged(L, W, precision, noise=noise)
+    else:
+        b_tile, m_tile = colfac_tile_select(nbatch, ncols, npup, precision,
+                                            b_tile or 64, m_tile)
+        l2, w2 = colfac_pack_tables(L, W, precision, noise=noise)
     return fused_colfac_detect_packed(
         seed, jnp.asarray(l2), jnp.asarray(w2), np.asarray(pupil_mode),
         nbatch, b_tile, m_tile, interpret=interpret, precision=precision,

@@ -181,21 +181,32 @@ def _build_scan_tables(sims, synth, subharm, precision, mc_noise, b_local,
         # Packed tables cache on the sim — repeat scans skip the
         # pad/fold host work
         from ..ops import pallas_synth
+        layout = pallas_synth.colfac_layout()
+        pack = (pallas_synth.colfac_pack_tables_merged
+                if layout == "merged" else pallas_synth.colfac_pack_tables)
         packed = []
         for s in sims:
-            key_pk = (precision, mc_noise,
+            key_pk = (precision, mc_noise, layout,
                       getattr(s, "_tables_version", 0))
             cache = getattr(s, "_colfac_packed", None)
             if cache is None or cache[0] != key_pk:
-                s._colfac_packed = (key_pk, pallas_synth.colfac_pack_tables(
+                s._colfac_packed = (key_pk, pack(
                     np.asarray(s._L_colfac), np.asarray(s._W_pruned),
                     precision, noise=mc_noise))
             packed.append(s._colfac_packed[1])
-        # (2, nsims, ncols, P, P): sims on axis 1 like the colfac layout
-        l2 = np.stack([t[0] for t in packed], axis=1)
+        if layout == "merged":
+            # (1, nsims, ncols, 2P, 2P): dummy leading axis so the sims
+            # stay on axis 1 (the shard_map spec shards axis 1)
+            l2 = np.stack([t[0] for t in packed])[None]
+            ncols = l2.shape[2]
+            pc_tiles = pallas_synth.colfac_tile_select_merged(
+                b_local // 2, ncols, s0.Npxls_pup, precision)
+        else:
+            # (2, nsims, ncols, P, P): sims on axis 1 like the colfac layout
+            l2 = np.stack([t[0] for t in packed], axis=1)
+            pc_tiles = pallas_synth.colfac_tile_select(
+                b_local // 2, l2.shape[2], s0.Npxls_pup, precision)
         w2_colfac = packed[0][1]
-        pc_tiles = pallas_synth.colfac_tile_select(
-            b_local // 2, l2.shape[2], s0.Npxls_pup, precision)
     else:
         l2 = np.zeros((2, len(sims), 0), dt)
     if subharm:
@@ -285,8 +296,11 @@ def _scan_program(key_data, C, *, mesh, synth, subharm, coherent, precision,
                         ksub, sps_sh, sh_df, sh_modes, b_local // 2,
                         crop=crop), pm.shape[0])
             if synth == "pallas_colfac":
+                # merged-layout stacks carry a dummy leading axis of 1
+                # (split stacks lead with the (real, imag) axis of 2)
+                l2_k = l2_s[0] if l2_s.shape[0] == 1 else l2_s
                 c = pallas_synth.fused_colfac_detect_packed(
-                    seed, l2_s, C["w2c"], pm, b_local // 2,
+                    seed, l2_k, C["w2c"], pm, b_local // 2,
                     *pc_tiles, precision=precision, subharm_screens=sh,
                     noise=mc_noise)
             else:
@@ -422,15 +436,45 @@ def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):
     rng_impl = {"threefry": "threefry2x32"}.get(
         s0.params["RNG"], s0.params["RNG"])
 
+    # Series-batched fused kernel on TPU: all of a device's series evolve
+    # in ONE Pallas program (B x the per-step MXU work — the single-series
+    # kernel is issue-latency-bound, BASELINE.md round 3). Falls back to
+    # the stock per-sim XLA scan when off-TPU / f64 / state too large.
+    from ..ops import pallas_synth
+    use_batch_kernel = (
+        jax.default_backend() == "tpu" and dt == np.float32
+        and pallas_synth.ar_batch_feasible(
+            local_sims, len(s0.h), s0.Npxls, s0.Npxls_pup, boiling) > 0)
+    noise_kind = s0.params.get("TEMPORAL_NOISE", "uniform")
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(), P("scan"), P("scan"), P("scan"), P("scan"),
                   P("scan"), P("scan"), P("scan")),
-        out_specs=P("scan"))
+        out_specs=P("scan"),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation
+        check_vma=not use_batch_kernel)
     def shard_fn(key_data, spd_l, ph2_l, pm_l, norm_l, al_l, s1_l,
                  chi_l):
         key = jax.random.wrap_key_data(key_data, impl=rng_impl)
         key = jax.random.fold_in(key, jax.lax.axis_index("scan"))
+        if use_batch_kernel:
+            kinit, knoise = jax.random.split(key)
+            a0 = synthesis.complex_normal(
+                kinit, spd_l.shape, dtype=cdt) * spd_l  # (B, L, N, N)
+            phasor = (jax.lax.complex(ph2_l[:, 0], ph2_l[:, 1])
+                      * al_l.astype(cdt))
+            ns = s1_l * spd_l if boiling else None
+            seed = jax.random.bits(knoise, (), "uint32").astype(jnp.int32)
+            c, _ = pallas_synth.ar_flow_fused_batch(
+                seed, a0, phasor, ns, W, pm_l, chi_l.shape[-1],
+                precision=precision, noise=noise_kind)
+            pc = jax.lax.complex(c[..., 0], c[..., 1]).T  # (B, nsteps)
+            out = (jnp.exp(chi_l).astype(jnp.float32) * pc
+                   * (dx ** 2) / norm_l[:, None])
+            if not coherent:
+                return jnp.abs(out) ** 2
+            return jnp.stack([out.real, out.imag], axis=-1)
         outs = []
         for s in range(local_sims):
             kinit, knoise = jax.random.split(jax.random.fold_in(key, s))

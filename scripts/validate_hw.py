@@ -1,0 +1,301 @@
+"""One-command hardware validation dossier (runs on the real TPU chip).
+
+Regenerates every statistical table in ``docs/validation.md`` §2-4 and
+prints a pass/fail summary:
+
+  1. KS panels: every fused-kernel / noise / layout variant vs the stock
+     XLA colfac Gaussian process (flagship 256^2 AO link).
+  2. Folded-mix colfac tables at >= 1M samples (retires the round-3
+     p=0.04@16k residual).
+  3. Deep-fade quantiles vs the full-f32 Box-Muller baseline
+     (8.4M samples/path with --full, 2^20 by default — NOTE: at 2^20 the
+     q<=1e-4 quantiles carry +-0.3-0.9 dB seed scatter; the PASS gate is
+     sized accordingly).
+  4. Temporal AR: uniform vs Box-Muller boiling (KS + lag-1
+     autocorrelation), series-batched kernel vs single-series kernel.
+  5. Scan-sharded runner vs solo runs (single-chip (1,1) mesh — the same
+     production code path the virtual-mesh CI exercises).
+
+Usage:
+    python scripts/validate_hw.py [--quick] [--full]
+
+Expected wall: ~10-20 min warm (--quick ~5; --full adds the 8.4M-sample
+fade runs). Requires the TPU backend; exits 2 if none is present.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+
+
+RESULTS = []
+
+
+def record(section, name, stat, passed, note=""):
+    RESULTS.append((section, name, stat, bool(passed), note))
+    flag = "PASS" if passed else "FAIL"
+    print(f"  [{flag}] {name}: {stat} {note}", flush=True)
+
+
+def flagship(niter, **over):
+    import __graft_entry__ as g
+    import fast_tpu
+    p = g._flagship_params(npxls=256, niter=niter,
+                           nchunks=max(1, niter // 65536), RNG="rbg")
+    p.update(over)
+    return fast_tpu.Fast(p)
+
+
+def power_samples(niter, seed=1, **over):
+    sim = flagship(niter, SEED=seed, **over)
+    res = sim.run()
+    return np.asarray(res.power, np.float64)
+
+
+def ks(a, b):
+    from scipy.stats import ks_2samp
+    return ks_2samp(a, b).pvalue
+
+
+def section_iid_panels(n):
+    print(f"\n== 1. iid kernel/noise/layout KS panels (n={n}) ==", flush=True)
+    base = power_samples(n, seed=11, SYNTH="colfac", MC_NOISE="gauss",
+                         PRECISION="highest")
+    variants = {
+        "pallas_fused mixed (default path)": dict(SYNTH="pallas_fused"),
+        "pallas_fused gauss": dict(SYNTH="pallas_fused", MC_NOISE="gauss"),
+        "pallas_colfac mixed-fold merged": dict(SYNTH="pallas_colfac"),
+        "pallas_colfac gauss merged": dict(SYNTH="pallas_colfac",
+                                           MC_NOISE="gauss"),
+        "pallas_colfac subharm merged": dict(SYNTH="pallas_colfac",
+                                             SUBHARM=True),
+    }
+    base_sh = None
+    for name, over in variants.items():
+        if over.pop("SUBHARM", False):
+            if base_sh is None:
+                base_sh = power_samples(n, seed=12, SYNTH="colfac",
+                                        MC_NOISE="gauss",
+                                        PRECISION="highest", SUBHARM=True)
+            ref = base_sh
+            over["SUBHARM"] = True
+        else:
+            ref = base
+        x = power_samples(n, seed=21, **over)
+        p = ks(x, ref)
+        dm = abs(x.mean() / ref.mean() - 1)
+        record("iid", name, f"KS p={p:.3f} dmean={dm:.4f}",
+               p > 1e-3 and dm < 0.01)
+
+
+def section_folded_mix(n):
+    print(f"\n== 2. folded-mix colfac tables at n={n} ==", flush=True)
+    a = power_samples(n, seed=31, SYNTH="pallas_colfac", MC_NOISE="mixed")
+    b = power_samples(n, seed=32, SYNTH="pallas_colfac", MC_NOISE="gauss")
+    p = ks(a, b)
+    dm = abs(a.mean() / b.mean() - 1)
+    record("fold", f"mixed-fold vs gauss (n={n})",
+           f"KS p={p:.3f} dmean={dm:.4f}", p > 1e-3 and dm < 0.005)
+    # split-layout cross-check at the same n (same tables, old kernel)
+    os.environ["FAST_TPU_COLFAC_LAYOUT"] = "split"
+    try:
+        c = power_samples(n, seed=33, SYNTH="pallas_colfac",
+                          MC_NOISE="mixed")
+    finally:
+        os.environ.pop("FAST_TPU_COLFAC_LAYOUT", None)
+    p2 = ks(a, c)
+    record("fold", "merged vs split layout (same RV family)",
+           f"KS p={p2:.3f}", p2 > 1e-3)
+
+
+def fade_quantiles(x, qs=(1e-3, 1e-4, 1e-5)):
+    x = np.sort(x / x.mean())
+    return {q: 10 * np.log10(x[max(0, int(q * len(x)) - 1)]) for q in qs}
+
+
+def section_fades(n):
+    print(f"\n== 3. deep-fade quantiles (n={n}/path) ==", flush=True)
+    tol = 0.35 if n >= 4e6 else 1.2  # dB; seed scatter shrinks with n
+    base = power_samples(n, seed=41, SYNTH="colfac", MC_NOISE="gauss",
+                         PRECISION="highest")
+    dflt = power_samples(n, seed=42)  # SYNTH auto -> pallas_fused mixed
+    qb, qd = fade_quantiles(base), fade_quantiles(dflt)
+    for q in qb:
+        diff = qd[q] - qb[q]
+        record("fade", f"q={q:g}",
+               f"default {qd[q]:.2f} dB vs f32-gauss {qb[q]:.2f} dB "
+               f"(d={diff:+.2f})", abs(diff) < tol,
+               note=f"(gate {tol} dB at this n)")
+
+
+def section_temporal(nsteps):
+    import jax
+    import fast_tpu
+    from fast_tpu.ops.rng import make_key
+    print(f"\n== 4. temporal AR (nsteps={nsteps}) ==", flush=True)
+
+    def series(noise, seed):
+        sim = flagship(nsteps, SEED=seed, NCHUNKS=64, TEMPORAL=True,
+                       TEMPORAL_SYNTH="ar", DT=0.001,
+                       TEMPORAL_NOISE=noise)
+        return np.asarray(sim.run().power, np.float64)
+
+    su = series("uniform", 51)
+    sg = series("gauss", 52)
+    p = ks(su[::8], sg[::8])  # subsample: KS needs ~independent samples
+    l1u = np.corrcoef(su[:-1], su[1:])[0, 1]
+    l1g = np.corrcoef(sg[:-1], sg[1:])[0, 1]
+    record("temporal", "uniform vs gauss boiling",
+           f"KS p={p:.3f} lag1 {l1u:.4f}/{l1g:.4f}",
+           p > 1e-3 and abs(l1u - l1g) < 0.01)
+
+    # series-batched kernel vs single-series kernel (8 series)
+    import jax.numpy as jnp
+    from fast_tpu.ops import pallas_synth
+    from fast_tpu import synthesis
+    sim = flagship(nsteps, SEED=53, NCHUNKS=64, TEMPORAL=True,
+                   TEMPORAL_SYNTH="ar", DT=0.001)
+    dt = np.float32
+    spd = (sim._sqrt_psd_layers * np.float64(sim.freq.main.df)).astype(dt)
+    v = np.asarray(sim.wind_vector, np.float64)
+    fxm = np.asarray(sim.freq.main.fx, np.float64)
+    fym = np.asarray(sim.freq.main.fy, np.float64)
+    phase = (fxm[None] * v[:, 0, None, None]
+             + fym[None] * v[:, 1, None, None]) * float(sim.dt)
+    ph = (np.exp(1j * np.angle(np.exp(1j * phase)))
+          * np.asarray(sim._ar_alpha)[:, None, None]).astype(np.complex64)
+    s1 = np.sqrt(np.maximum(0, 1 - np.float64(sim._ar_alpha) ** 2))
+    ns = (s1[:, None, None] * np.float64(spd)).astype(dt)
+    W = synthesis.pruned_ift2_matrix(sim.Npxls, *sim.pup_crop,
+                                     dtype=np.complex64)
+    B = 8
+    key = make_key(7, impl="rbg")
+    L = len(sim.h)
+    N = sim.Npxls
+
+    @jax.jit
+    def draw_a0(key):
+        ks_ = jax.random.split(key, B)
+        return jax.vmap(lambda k: synthesis.complex_normal(
+            k, (L, N, N), dtype=jnp.complex64) * spd)(ks_)
+
+    a0 = draw_a0(key)
+    pms = np.broadcast_to(sim._pm, (B,) + sim._pm.shape)
+
+    @jax.jit
+    def run_batch(a0):
+        c, _ = pallas_synth.ar_flow_fused_batch(
+            5, a0, jnp.asarray(np.broadcast_to(ph, (B,) + ph.shape)),
+            jnp.asarray(np.broadcast_to(ns, (B,) + ns.shape)), W, pms,
+            nsteps)
+        return c
+
+    @jax.jit
+    def run_single(a0_s, seed):
+        c, _ = pallas_synth.ar_flow_fused(seed, a0_s, jnp.asarray(ph),
+                                          jnp.asarray(ns), W, sim._pm,
+                                          nsteps)
+        return c
+
+    t0 = time.time()
+    cb = np.asarray(run_batch(a0))
+    _ = float(np.abs(cb).sum())
+    t_warm0 = time.time() - t0
+    cb_abs = np.abs(cb[..., 0] + 1j * cb[..., 1]).ravel()
+    cs = np.concatenate([
+        np.abs(np.asarray(run_single(a0[s], 100 + s)) @ [1, 1j])
+        for s in range(B)])
+    p2 = ks(cb_abs[::16], cs[::16])
+    dm = abs(cb_abs.mean() / cs.mean() - 1)
+    record("temporal", f"batched ({B} series) vs single-series kernel",
+           f"KS p={p2:.3f} dmean={dm:.4f}", p2 > 1e-3 and dm < 0.02)
+
+    # aggregate throughput: batched vs serial single-series calls
+    t0 = time.time()
+    cb = run_batch(a0)
+    _ = float(np.abs(np.asarray(cb)).sum())
+    t_b = time.time() - t0
+    t0 = time.time()
+    for s in range(B):
+        c1 = run_single(a0[s], 200 + s)
+    _ = float(np.abs(np.asarray(c1)).sum())
+    t_s = time.time() - t0
+    agg_b = B * nsteps / t_b
+    agg_s = B * nsteps / t_s
+    record("temporal", "batched aggregate steps/s",
+           f"{agg_b:.0f} vs serial {agg_s:.0f} ({agg_b / agg_s:.1f}x, "
+           f"first-call {B * nsteps / t_warm0:.0f})", agg_b > 2 * agg_s,
+           note="(VERDICT gate: >=4x on an uncontended chip)")
+
+
+def section_scan_sharded(n):
+    import fast_tpu
+    from fast_tpu import parallel
+    print(f"\n== 5. scan-sharded runner vs solo (n={n}) ==", flush=True)
+    mesh = parallel.make_scan_mesh(1, 1)
+    sims = [flagship(n, SEED=61, ZENITH_ANGLE=z, SYNTH="pallas_colfac")
+            for z in (40.0, 55.0)]
+    t0 = time.time()
+    parallel.run_scan_sharded(sims, mesh, seed=71)
+    t_cold = time.time() - t0
+    t0 = time.time()
+    results = parallel.run_scan_sharded(sims, mesh, seed=72)
+    t_warm = time.time() - t0
+    for sim, r in zip(sims, results):
+        solo = power_samples(n, seed=73,
+                             ZENITH_ANGLE=sim.params["ZENITH_ANGLE"],
+                             SYNTH="pallas_colfac")
+        x = np.asarray(r.power, np.float64)
+        p = ks(x, solo)
+        dm = abs(x.mean() / solo.mean() - 1)
+        record("scan", f"zenith {sim.params['ZENITH_ANGLE']}",
+               f"KS p={p:.3f} dmean={dm:.4f}", p > 1e-3 and dm < 0.01)
+    record("scan", "warm repeat (device-resident tables)",
+           f"{2 * n / t_warm:.0f} r/s (first call {2 * n / t_cold:.0f})",
+           t_warm <= t_cold * 1.5)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="small n (smoke validation, ~5 min)")
+    ap.add_argument("--full", action="store_true",
+                    help="8.4M-sample fade runs (docs/validation.md §3)")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_fast_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() != "tpu":
+        print("no TPU backend — this dossier must run on hardware")
+        return 2
+
+    n_ks = 2 ** 14 if args.quick else 2 ** 16
+    n_fold = 2 ** 16 if args.quick else 2 ** 20
+    n_fade = 2 ** 17 if args.quick else (2 ** 23 if args.full else 2 ** 20)
+    n_steps = 2 ** 12 if args.quick else 2 ** 14
+
+    t0 = time.time()
+    section_iid_panels(n_ks)
+    section_folded_mix(n_fold)
+    section_fades(n_fade)
+    section_temporal(n_steps)
+    section_scan_sharded(n_ks)
+
+    print(f"\n== summary ({time.time() - t0:.0f}s) ==")
+    fails = [r for r in RESULTS if not r[3]]
+    for sec, name, stat, ok, note in RESULTS:
+        print(f"  {'PASS' if ok else 'FAIL'}  [{sec}] {name}: {stat} {note}")
+    print(f"{len(RESULTS) - len(fails)}/{len(RESULTS)} checks passed")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

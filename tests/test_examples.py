@@ -46,3 +46,22 @@ def test_orbit_temporal_scan_example(capsys):
     out = capsys.readouterr().out
     assert "fade dur" in out
     assert out.count("\n") >= 5
+
+
+def test_doc_build(tmp_path):
+    """The markdown doc site builds: every page renders non-trivially
+    (the reference ships a sphinx site, doc/index.rst — this is the
+    in-image equivalent; no sphinx available)."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "build_docs", os.path.join(os.path.dirname(__file__), "..",
+                                   "docs", "build_docs.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    written = mod.build(str(tmp_path))
+    assert len(written) >= 8
+    for f in written:
+        with open(f) as fh:
+            html = fh.read()
+        assert "<main>" in html and len(html) > 1500

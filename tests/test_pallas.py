@@ -360,3 +360,55 @@ def test_colfac_kernel_statistics_on_tpu():
     phs = np.concatenate([scr.real, scr.imag])
     pc_ref = np.abs(np.exp(1j * phs).sum(axis=(-2, -1)))
     assert ks_2samp(pc, pc_ref).pvalue > 1e-3
+
+
+def test_interpret_ar_flow_batch_matches_single():
+    """The series-batched AR kernel evolves each series exactly as the
+    single-series kernel: per-series couplings and final states match
+    (pure frozen flow has no RNG; the boiling case matches too because
+    zero interpreter bits make the noise the same constant)."""
+    import jax.numpy as jnp
+
+    B, L_layers, N, lo, hi = 3, 2, 64, 20, 44
+    npup = hi - lo
+    rng = np.random.default_rng(11)
+    a0 = 0.02 * (rng.normal(size=(B, L_layers, N, N))
+                 + 1j * rng.normal(size=(B, L_layers, N, N))) \
+        .astype(np.complex64)
+    ph = np.exp(1j * rng.uniform(-3, 3, (B, L_layers, N, N))) \
+        .astype(np.complex64)
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex64)
+    pms = rng.random((B, npup, npup)).astype(np.float32)
+    nsteps = 6
+
+    c_b, af_b = pallas_synth.ar_flow_fused_batch(
+        1, jnp.asarray(a0), jnp.asarray(ph), None, W, pms, nsteps,
+        interpret=True, precision="highest")
+    c_b, af_b = np.asarray(c_b), np.asarray(af_b)
+    assert c_b.shape == (nsteps, B, 2)
+    for s in range(B):
+        c1, af1 = pallas_synth.ar_flow_fused(
+            1, jnp.asarray(a0[s]), jnp.asarray(ph[s]), None, W, pms[s],
+            nsteps, interpret=True, precision="highest")
+        np.testing.assert_allclose(c_b[:, s], np.asarray(c1), rtol=2e-4,
+                                   atol=2e-4)
+        np.testing.assert_allclose(af_b[s], np.asarray(af1), rtol=2e-4,
+                                   atol=2e-4)
+
+    # boiling: per-series noise tables, zero interpreter bits
+    alpha = 0.9
+    phb = (alpha * ph).astype(np.complex64)
+    ns = (0.01 * rng.random((B, L_layers, N, N))).astype(np.float32)
+    c_b, af_b = pallas_synth.ar_flow_fused_batch(
+        1, jnp.asarray(a0), jnp.asarray(phb), jnp.asarray(ns), W, pms,
+        nsteps, interpret=True, precision="highest", noise="uniform")
+    c_b, af_b = np.asarray(c_b), np.asarray(af_b)
+    for s in range(B):
+        c1, af1 = pallas_synth.ar_flow_fused(
+            1, jnp.asarray(a0[s]), jnp.asarray(phb[s]), jnp.asarray(ns[s]),
+            W, pms[s], nsteps, interpret=True, precision="highest",
+            noise="uniform")
+        np.testing.assert_allclose(c_b[:, s], np.asarray(c1), rtol=2e-4,
+                                   atol=2e-4)
+        np.testing.assert_allclose(af_b[s], np.asarray(af1), rtol=2e-4,
+                                   atol=2e-4)
