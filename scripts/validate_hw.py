@@ -233,6 +233,42 @@ def section_temporal(nsteps):
            f"first-call {B * nsteps / t_warm0:.0f})", agg_b > 2 * agg_s,
            note="(VERDICT gate: >=4x on an uncontended chip)")
 
+    # production path: run_scan_sharded batched kernel vs forced-serial
+    # XLA path, with a serial-vs-serial null control. KS runs on thinned
+    # samples (the series is temporally correlated; raw-step KS
+    # overcounts the effective sample size ~D/(v dt) ~ 30x and rejects
+    # two *identical* processes).
+    from fast_tpu import parallel
+    from fast_tpu.parallel import scan as scan_mod
+    mesh = jax.sharding.Mesh(
+        np.array(jax.devices()[:1]).reshape(1, 1), ("scan", "mc"))
+    sims = [flagship(nsteps, SEED=54, NCHUNKS=1, TEMPORAL=True,
+                     TEMPORAL_SYNTH="ar", DT=0.001, ZENITH_ANGLE=z)
+            for z in (40.0, 55.0)]
+
+    def scan_run(seed, force_serial=False):
+        orig = pallas_synth.ar_batch_feasible
+        if force_serial:
+            pallas_synth.ar_batch_feasible = lambda *a, **k: 0
+        try:
+            rs = parallel.run_scan_sharded(sims, mesh, seed=seed)
+        finally:
+            pallas_synth.ar_batch_feasible = orig
+        return [np.asarray(r.power, np.float64) for r in rs]
+
+    xb = scan_run(81)
+    xs1 = scan_run(82, force_serial=True)
+    xs2 = scan_run(83, force_serial=True)
+    thin = max(1, nsteps // 512)
+    for i, z in enumerate((40.0, 55.0)):
+        p_ab = ks(xb[i][::thin], xs1[i][::thin])
+        p_null = ks(xs1[i][::thin], xs2[i][::thin])
+        dm = abs(xb[i].mean() / xs1[i].mean() - 1)
+        record("temporal", f"scan runner batch vs serial (zenith {z})",
+               f"KS p={p_ab:.3f} (null control p={p_null:.3f}) "
+               f"dmean={dm:.4f}", p_ab > 1e-3 and dm < 0.05,
+               note="thinned %dx" % thin)
+
 
 def section_scan_sharded(n):
     import fast_tpu
