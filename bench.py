@@ -227,29 +227,31 @@ def main():
         npxls=256, niter=16 * NITER, nchunks=16, RNG="rbg", SYNTH=synth))
     r_sus = measure_rps(sim_sus, 16 * NITER, rep_sets=4, reps=1)
 
-    print("# 256^2 default config (SYNTH='auto')", file=sys.stderr)
+    print("# 256^2 default config (SYNTH='auto', 16-chunk sustained)",
+          file=sys.stderr)
     sim_def = fast_tpu.Fast(g._flagship_params(
-        npxls=256, niter=NITER, nchunks=1))
-    r_def = measure_rps(sim_def, NITER, rep_sets=3)
+        npxls=256, niter=16 * NITER, nchunks=16))
+    r_def = measure_rps(sim_def, 16 * NITER, rep_sets=3, reps=1)
 
-    print("# 512^2 iid", file=sys.stderr)
+    print("# 512^2 iid (8-chunk sustained)", file=sys.stderr)
     sim512 = fast_tpu.Fast(g._flagship_params(
-        npxls=512, niter=8192, nchunks=1, RNG="rbg", SYNTH=synth))
-    r512 = measure_rps(sim512, 8192)
+        npxls=512, niter=65536, nchunks=8, RNG="rbg", SYNTH=synth))
+    r512 = measure_rps(sim512, 65536, rep_sets=4, reps=1)
 
-    print("# 512^2 default config (SYNTH='auto')", file=sys.stderr)
+    print("# 512^2 default config (SYNTH='auto', 8-chunk sustained)",
+          file=sys.stderr)
     sim_def512 = fast_tpu.Fast(g._flagship_params(
-        npxls=512, niter=8192, nchunks=1))
-    r_def512 = measure_rps(sim_def512, 8192, rep_sets=3)
+        npxls=512, niter=65536, nchunks=8))
+    r_def512 = measure_rps(sim_def512, 65536, rep_sets=3, reps=1)
 
     print("# 1024^2 iid, 4 m pupil (huge-pupil colfac tile fallback)",
           file=sys.stderr)
     # 400-px pupil -> P=512 >= 384: no candidate tile fits the VMEM
     # budget, exercising colfac_tile_select's smallest-tile fallback
     sim1k = fast_tpu.Fast(g._flagship_params(
-        npxls=1024, niter=2048, nchunks=1, RNG="rbg", SYNTH=synth,
+        npxls=1024, niter=8192, nchunks=4, RNG="rbg", SYNTH=synth,
         D_GROUND=4.0, DSUBAP=0.5))
-    r1k = measure_rps(sim1k, 2048, rep_sets=3, reps=1)
+    r1k = measure_rps(sim1k, 8192, rep_sets=3, reps=1)
 
     print("# 256^2 temporal AR frozen flow", file=sys.stderr)
     sim_t = fast_tpu.Fast(g._flagship_params(

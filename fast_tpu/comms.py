@@ -289,12 +289,21 @@ class Modulator:
         Recovered as ``recv - tx`` (the kernel adds the noise on-device;
         ``fast/comms.py:78-86`` exposes the drawn array). 0 when noiseless.
         """
+        if getattr(self, "_awgn_override", None) is not None:
+            return self._awgn_override
         if not getattr(self, "_noisy", False):
             return 0
         tx = self.constellation[self.symbols]
         if self._kind == "ook":
             tx = tx.real
         return self.recv_signal - tx
+
+    @awgn.setter
+    def awgn(self, value):
+        # reference-compatible attribute assignment (the reference keeps
+        # ``awgn`` as a plain attribute, fast/comms.py:78-86); assigned
+        # values shadow the recovered recv - tx array
+        self._awgn_override = value
 
     def demodulate(self):
         if self.modulation is None:

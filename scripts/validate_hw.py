@@ -65,8 +65,12 @@ def ks(a, b):
 
 def section_iid_panels(n):
     print(f"\n== 1. iid kernel/noise/layout KS panels (n={n}) ==", flush=True)
+    # XLA-path reference draws materialize their screens in HBM — keep
+    # per-chunk batches small (the Pallas variants never touch HBM and
+    # use the default chunking)
+    xla_chunks = max(1, n // 4096)
     base = power_samples(n, seed=11, SYNTH="colfac", MC_NOISE="gauss",
-                         PRECISION="highest")
+                         PRECISION="highest", NCHUNKS=xla_chunks)
     variants = {
         "pallas_fused mixed (default path)": dict(SYNTH="pallas_fused"),
         "pallas_fused gauss": dict(SYNTH="pallas_fused", MC_NOISE="gauss"),
@@ -82,7 +86,8 @@ def section_iid_panels(n):
             if base_sh is None:
                 base_sh = power_samples(n, seed=12, SYNTH="colfac",
                                         MC_NOISE="gauss",
-                                        PRECISION="highest", SUBHARM=True)
+                                        PRECISION="highest", SUBHARM=True,
+                                        NCHUNKS=xla_chunks)
             ref = base_sh
             over["SUBHARM"] = True
         else:
@@ -123,7 +128,7 @@ def section_fades(n):
     print(f"\n== 3. deep-fade quantiles (n={n}/path) ==", flush=True)
     tol = 0.35 if n >= 4e6 else 1.2  # dB; seed scatter shrinks with n
     base = power_samples(n, seed=41, SYNTH="colfac", MC_NOISE="gauss",
-                         PRECISION="highest")
+                         PRECISION="highest", NCHUNKS=max(1, n // 4096))
     dflt = power_samples(n, seed=42)  # SYNTH auto -> pallas_fused mixed
     qb, qd = fade_quantiles(base), fade_quantiles(dflt)
     for q in qb:
