@@ -225,7 +225,7 @@ def main():
           file=sys.stderr)
     sim_sus = fast_tpu.Fast(g._flagship_params(
         npxls=256, niter=16 * NITER, nchunks=16, RNG="rbg", SYNTH=synth))
-    r_sus = measure_rps(sim_sus, 16 * NITER, rep_sets=4, reps=1)
+    r_sus = measure_rps(sim_sus, 16 * NITER, rep_sets=8, reps=1)
 
     print("# 256^2 default config (SYNTH='auto', 16-chunk sustained)",
           file=sys.stderr)

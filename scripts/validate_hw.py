@@ -92,6 +92,10 @@ def section_iid_panels(n):
             over["SUBHARM"] = True
         else:
             ref = base
+        # moderate chunking for the variant draws too: the subharmonic
+        # synthesis at a 65k single chunk emits a ~48 MB MLIR program
+        # that the remote compile helper rejects
+        over.setdefault("NCHUNKS", max(1, n // 8192))
         x = power_samples(n, seed=21, **over)
         p = ks(x, ref)
         dm = abs(x.mean() / ref.mean() - 1)
