@@ -24,6 +24,7 @@ bound uses the resolved ``dx`` (the reference reads the raw ``DX`` config
 value, which crashes for ``DX='auto'``, ``fast/fast.py:183``).
 """
 
+import itertools
 import logging
 
 import jax
@@ -93,7 +94,13 @@ class Fast:
     returns a :class:`FastResult`.
     """
 
+    # monotonically unique per-instance id for device-table caches:
+    # ``id()`` keys are unsafe (CPython recycles addresses of collected
+    # objects, so a rebuilt sim list could silently hit a stale entry)
+    _uid_counter = itertools.count()
+
     def __init__(self, params):
+        self._uid = next(Fast._uid_counter)
         self.conf = conf.ConfigParser(params)
         self.params = self.conf.config
 
@@ -825,20 +832,16 @@ class Fast:
             W = synthesis.pruned_ift2_matrix(
                 self.Npxls, *self.pup_crop, dtype=np.complex64)
             C["w2"] = np.stack([W.real, W.imag]).astype(dt_np)
-            # VMEM feasibility of the fused kernel: four (2, L*N, N) f32
-            # buffers (a0/ph in, state scratch, final state out) + the
-            # noise table + W/pm must be simultaneously resident
-            # (mirrors the sizing in ops/pallas_synth._ar_flow_call)
-            L_layers = len(self.h)
+            # VMEM feasibility of the fused kernel, sized by the same
+            # helper `_ar_flow_call` budgets with (worst-case unroll cap,
+            # including the boiling noise table) so the stream-vs-resident
+            # decision can never diverge from the kernel's own need
+            from .ops import pallas_synth
             N = self.Npxls
             P = -(-self.Npxls_pup // 128) * 128
-            # worst-case step unroll the fused kernel may pick (the actual
-            # k divides NITER and is <= this cap)
-            from .ops import pallas_synth
-            k_cap = pallas_synth._AR_K_CAP if N <= 256 else 4
-            vmem_need = ((4 * 2 * L_layers * N + 3 * P) * N
-                         + 2 * P * P
-                         + 2 * k_cap * N * N + 2 * P * k_cap * N) * 4
+            vmem_need = pallas_synth.ar_vmem_need(
+                len(self.h), N, P,
+                boiling=bool(np.any(np.asarray(self._ar_alpha) < 1.0)))
             stream = False
             if jax.default_backend() == "tpu":
                 # VMEM-resident fused kernel when the whole state fits;

@@ -837,6 +837,34 @@ def _colfac_detect_call_merged(seed, s, w3, pm, nbatch, b_tile, m_tile,
 _AR_K_CAP = 16  # step-unroll cap for the fused AR kernel (N <= 256)
 
 
+def ar_k_cap(N):
+    """Worst-case step unroll the fused AR kernel may pick at grid N.
+
+    The actual unroll divides ``nsteps`` and is <= this cap; callers
+    sizing VMEM ahead of time (engine stream-selection) must assume the
+    cap. Single source of truth for `_ar_flow_call`'s unroll rule.
+    """
+    return _AR_K_CAP if N <= 256 else 4
+
+
+def ar_vmem_need(nlayers, N, P, boiling, k_steps=None):
+    """VMEM bytes the fused single-series AR kernel keeps live.
+
+    Four (2, L*N, N) f32 tensors (a0/ph in, final-state out, state
+    scratch) + the boiling noise table + W tables + pupil, plus the
+    k-step unroll live values (Ar/Ai concats ~ 2*k*N^2 and GR/GI
+    ~ 2*P*k*N) the batched DFT materialises in the kernel body. Shared
+    by `_ar_flow_call`'s compiler budget and the engine's
+    stream-vs-resident selection so the two can never diverge.
+    """
+    if k_steps is None:
+        k_steps = ar_k_cap(N)
+    LN = nlayers * N
+    return (4 * 2 * LN * N + (LN * N if boiling else 0)
+            + 3 * P * N + 2 * P * P
+            + 2 * k_steps * N * N + 2 * P * k_steps * N) * 4
+
+
 def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
                     pm_ref, out_ref, afin_ref, st_ref, *, nlayers, N,
                     ngrid, k_steps, boiling, noise, precision):
@@ -951,7 +979,7 @@ def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
         # (measured: 16 > 4 by ~5% at 256^2); larger grids keep the
         # unroll short — the concatenated DFT operands grow as k*N^2.
         # K divides nsteps, so any series length still runs
-        k_steps = _auto_tile(nsteps, _AR_K_CAP if N <= 256 else 4)
+        k_steps = _auto_tile(nsteps, ar_k_cap(N))
         ngrid = nsteps // k_steps
         in_specs = [
             pl.BlockSpec((2, LN, N), lambda t, *_: (0, 0, 0),
@@ -1005,9 +1033,7 @@ def _ar_flow_call(seed, a0, ph, ns, wr, wi, pm, nsteps, nlayers,
         # scratch) + ns block + W tables + pupil, PLUS the k-step unroll
         # live values (Ar/Ai concats ~ 2*k*N^2 and GR/GI ~ 2*P*k*N) that
         # the batched DFT materialises inside the kernel body.
-        need = (4 * 2 * LN * N + (LN * N if boiling else 0)
-                + 3 * P * N + 2 * P * P
-                + 2 * k_steps * N * N + 2 * P * k_steps * N) * 4
+        need = ar_vmem_need(LN // N, N, P, boiling, k_steps)
         out, afin = pl.pallas_call(
             _shim,
             grid_spec=grid_spec,
@@ -1488,6 +1514,10 @@ def fused_colfac_detect_packed(seed, l2, w2, pupil_mode, nbatch, b_tile,
     """
     npup = pupil_mode.shape[0]
     merged = l2.ndim == 3  # split l2 is (2, ncols, P, P); merged (n, 2P, 2P)
+    if layout is not None and layout != ("merged" if merged else "split"):
+        raise ValueError(
+            f"layout={layout!r} does not match the packing of the supplied "
+            f"tables ({'merged' if merged else 'split'})")
     P = l2.shape[-1] // 2 if merged else l2.shape[-1]
     xp = np if isinstance(pupil_mode, np.ndarray) else jnp
     pm = xp.pad(xp.asarray(pupil_mode, xp.float32),

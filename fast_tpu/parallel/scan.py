@@ -117,11 +117,16 @@ def run_scan_sharded(sims, mesh, seed=None):
     # Device-resident table cache: a repeat scan over the same sims/mesh
     # reuses the device-put table pytree instead of re-shipping the
     # (possibly 100+ MB) factor stacks host->device on every call. Keyed
-    # on each sim's identity + ``_tables_version`` (bumped whenever a
-    # sim's tables regenerate) so mutated sims never reuse stale tables.
+    # on each sim's `_uid` (monotonic — unlike id(), never recycled by
+    # the allocator) + ``_tables_version`` (bumped whenever a sim's
+    # tables regenerate) so replaced or mutated sims never reuse stale
+    # tables, and on the colfac kernel layout (env-switchable).
+    from ..ops import pallas_synth as _ps
+    layout = _ps.colfac_layout() if synth == "pallas_colfac" else None
     cache_key = (mesh, synth, subharm, precision, mc_noise, b_local,
-                 tuple((id(s), getattr(s, "_tables_version", 0))
-                       for s in sims))
+                 layout,
+                 tuple((getattr(s, "_uid", id(s)),
+                        getattr(s, "_tables_version", 0)) for s in sims))
     cached = getattr(s0, "_scan_device_cache", None)
     if cached is not None and cached[0] == cache_key:
         C, pc_tiles = cached[1], cached[2]
@@ -362,6 +367,10 @@ def _scan_program(key_data, C, *, mesh, synth, subharm, coherent, precision,
                     C["logamp_vars"], C["l2"], C["sqrt_psd_shs"])
 
 
+# configs whose series-batched AR kernel failed Mosaic compilation this
+# process — skip straight to the per-series fallback on repeat calls
+_AR_BATCH_COMPILE_FAILED = set()
+
 # per-sim tables of the temporal AR scan program: sims on the ``scan``
 # axis; the pruned-DFT matrix and dx are shared/replicated.
 _TEMPORAL_TABLE_SPECS = {
@@ -500,10 +509,11 @@ def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):
     # fusion, not wider dots. Falls back to the stock per-sim XLA scan
     # when off-TPU / f64 / state too large.
     from ..ops import pallas_synth
+    batch_cfg = (local_sims, len(s0.h), s0.Npxls, s0.Npxls_pup, boiling)
     use_batch_kernel = (
         jax.default_backend() == "tpu" and dt == np.float32
-        and pallas_synth.ar_batch_feasible(
-            local_sims, len(s0.h), s0.Npxls, s0.Npxls_pup, boiling) > 0)
+        and batch_cfg not in _AR_BATCH_COMPILE_FAILED
+        and pallas_synth.ar_batch_feasible(*batch_cfg) > 0)
     noise_kind = s0.params.get("TEMPORAL_NOISE", "uniform")
 
     # Device-resident table cache + one shared jitted program (mirrors the
@@ -511,10 +521,16 @@ def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):
     # path re-traced shard_fn and re-shipped the ~NL·N² phasor/PSD stacks
     # (tens of MB) every call, which dominated warm orbit-scan wall time.
     has_tps = s0.temporal_logamp_powerspec is not None
+    for s in sims[1:]:
+        if (s.temporal_logamp_powerspec is not None) != has_tps:
+            raise ValueError(
+                "sims must agree on temporal logamp powerspec presence "
+                "(mixed sweeps would silently drop a sim's temporal "
+                "log-amplitude spectrum)")
     cache_key = (mesh, precision, noise_kind, boiling, coherent, niter,
                  has_tps, str(dt),
-                 tuple((id(s), getattr(s, "_tables_version", 0))
-                       for s in sims))
+                 tuple((getattr(s, "_uid", id(s)),
+                        getattr(s, "_tables_version", 0)) for s in sims))
     cached = getattr(s0, "_temporal_scan_device_cache", None)
     if cached is not None and cached[0] == cache_key:
         C = cached[1]
@@ -568,7 +584,10 @@ def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):
             # ar_batch_feasible's VMEM estimate is a guide, not a
             # guarantee (Mosaic stack-allocates temporaries it is free
             # to reuse) — a compile-time scoped-vmem OOM lands here;
-            # fall back to the per-series XLA path.
+            # fall back to the per-series XLA path. jit does not cache
+            # failures, so memoise the config to avoid re-paying the
+            # failed remote compile on every warm call of an orbit loop.
+            _AR_BATCH_COMPILE_FAILED.add(batch_cfg)
             logger.warning(
                 "batched AR kernel failed to compile (%s); falling "
                 "back to the per-series scan path", type(e).__name__)

@@ -32,11 +32,6 @@ def main(path):
     data, _ = rtd.xspace_to_tool_data([path], "op_profile", {})
     d = json.loads(data if isinstance(data, str) else data.decode())
     prog = d["byProgram"]
-    total = prog["metrics"]["rawTime"] if "metrics" in prog else \
-        prog.get("rawTime") or sum(
-            c.get("metrics", c).get("rawTime", 0)
-            for c in prog.get("children", []))
-
     rows = []
 
     def leafcats(node):

@@ -197,13 +197,19 @@ class load:  # noqa: N801 - skyfield casing
             lines = [ln.rstrip("\n") for ln in f if ln.strip()]
         sats = []
         i = 0
-        while i + 2 < len(lines) + 1:
-            if lines[i].startswith("1 ") and i > 0:
-                i += 1
-                continue
-            name, l1, l2 = (lines[i].strip(), lines[i + 1], lines[i + 2])
-            sats.append(EarthSatellite(name, l1, l2))
-            i += 3
+        while i < len(lines):
+            if lines[i].startswith("1 "):
+                # name-less two-line entry
+                if i + 1 >= len(lines):
+                    break  # trailing partial entry
+                sats.append(EarthSatellite("", lines[i], lines[i + 1]))
+                i += 2
+            else:
+                if i + 2 >= len(lines):
+                    break  # trailing partial entry
+                sats.append(EarthSatellite(lines[i].strip(), lines[i + 1],
+                                           lines[i + 2]))
+                i += 3
         return sats
 
     @staticmethod

@@ -115,3 +115,20 @@ def test_fast_sat_orbit_end_to_end(sf_backend):
     # one sample runs end to end
     res = sims["simulation_1"].run()
     assert np.isfinite(np.asarray(res.power)).all()
+
+
+def test_tle_file_nameless_and_partial(tmp_path):
+    """The fixture TLE parser handles the common name-less 2-line format
+    and tolerates a trailing partial entry (round-4 review fix)."""
+    with open(TLE) as f:
+        name, l1, l2 = [ln.rstrip("\n") for ln in f if ln.strip()]
+    # name-less file: two satellites, no name lines
+    p = tmp_path / "nameless.tle"
+    p.write_text(f"{l1}\n{l2}\n{l1}\n{l2}\n")
+    sats = skyfield_fixture.load.tle_file(str(p))
+    assert len(sats) == 2 and sats[0].name == ""
+    # named file with a trailing partial entry parses the full entries
+    p2 = tmp_path / "partial.tle"
+    p2.write_text(f"{name}\n{l1}\n{l2}\n{name}\n{l1}\n")
+    sats2 = skyfield_fixture.load.tle_file(str(p2))
+    assert len(sats2) == 1 and sats2[0].name == name.strip()

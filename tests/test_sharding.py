@@ -159,6 +159,29 @@ def test_temporal_ar_scan_sharded(mesh8):
     assert abs(np.log(r_solo.mean() / r_scan.mean())) < 0.7
 
 
+def test_temporal_ar_scan_mixed_logamp_tps_rejected(mesh8):
+    """A temporal scan whose sims disagree on temporal-logamp-powerspec
+    presence rejects loudly instead of silently dropping a sim's
+    temporal log-amplitude spectrum (round-4 review fix)."""
+    mesh = parallel.make_scan_mesh(2, 1, devices=mesh8.devices.ravel()[:2])
+    sims = [fast_tpu.Fast(make_test_params(
+        TEMPORAL=True, TEMPORAL_SYNTH="ar", TEMPORAL_ALPHA=0.95,
+        NPXLS=128, NITER=40, NCHUNKS=4, SEED=18, ZENITH_ANGLE=z))
+        for z in (40, 50)]
+    sims[1].temporal_logamp_powerspec = None
+    with pytest.raises(ValueError, match="logamp powerspec"):
+        parallel.run_scan_sharded(sims, mesh)
+
+
+def test_sim_uids_unique():
+    """Device-table caches key sims by ``_uid`` — a monotonic counter
+    that, unlike ``id()``, is never recycled when an old sims list is
+    garbage-collected and rebuilt (round-4 review fix)."""
+    a = fast_tpu.Fast(make_test_params(NITER=20, NCHUNKS=2))
+    b = fast_tpu.Fast(make_test_params(NITER=20, NCHUNKS=2))
+    assert a._uid != b._uid
+
+
 def test_temporal_screens_scan_sharding_rejected(mesh8):
     mesh = parallel.make_scan_mesh(8, 1, devices=mesh8.devices.ravel())
     sims = [fast_tpu.Fast(make_test_params(
