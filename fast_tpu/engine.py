@@ -638,12 +638,44 @@ class Fast:
         L = getattr(self, "_L_colfac", None)
         pm = self._pm
         sqrt_psd = self._sqrt_psd
+        colfac_args = ()
+        if synth == "pallas_colfac":
+            # pack the factor tables host-side (cached on the sim, shared
+            # with the scan runner) and ship them as TRACED ARGUMENTS,
+            # device-resident across calls — embedding them as trace-time
+            # constants works at 256² (~16 MB) but at 1024²/P=512 the
+            # packed stack approaches a GB and the constant-laden MLIR
+            # chokes the remote compile service
+            from .ops import pallas_synth
+            layout = pallas_synth.colfac_layout()
+            Lnp = np.asarray(L)
+            ncols, npup_, _ = Lnp.shape
+            key_pk = (precision, mc_noise, layout,
+                      getattr(self, "_tables_version", 0))
+            cache = getattr(self, "_colfac_packed", None)
+            if cache is None or cache[0] != key_pk:
+                pack = (pallas_synth.colfac_pack_tables_merged
+                        if layout == "merged"
+                        else pallas_synth.colfac_pack_tables)
+                self._colfac_packed = (key_pk, pack(
+                    Lnp, np.asarray(W), precision, noise=mc_noise))
+            if layout == "merged":
+                b_tile, m_tile = pallas_synth.colfac_tile_select_merged(
+                    B // 2, ncols, npup_, precision, 128, None)
+            else:
+                b_tile, m_tile = pallas_synth.colfac_tile_select(
+                    B // 2, ncols, npup_, precision, 64, None)
+            devc = getattr(self, "_colfac_packed_dev", None)
+            if devc is None or devc[0] != key_pk:
+                self._colfac_packed_dev = (key_pk, tuple(
+                    jax.device_put(t) for t in self._colfac_packed[1]))
+            colfac_args = self._colfac_packed_dev[1]
         if subharm:
             sqrt_psd_sh = self._sqrt_psd_sh
             sh_modes = self._sh_modes
             sh_df = self._sh_df
 
-        def chunk(key, chi):
+        def chunk(key, chi, *tables):
             kmain, ksub = jax.random.split(key)
             if synth in ("pallas_fused", "pallas_colfac"):
                 from .ops import pallas_synth
@@ -658,9 +690,11 @@ class Fast:
                             ksub, sqrt_psd_sh, sh_df, sh_modes, B // 2,
                             crop=crop), pm.shape[0])
                 if synth == "pallas_colfac":
-                    c = pallas_synth.fused_colfac_detect(
-                        seed, L, W, pm, B // 2, precision=precision,
-                        subharm_screens=sh, noise=mc_noise)
+                    l2_t, w2_t = tables if tables else colfac_args
+                    c = pallas_synth.fused_colfac_detect_packed(
+                        seed, l2_t, w2_t, pm, B // 2, b_tile, m_tile,
+                        precision=precision, subharm_screens=sh,
+                        noise=mc_noise)
                 else:
                     c = pallas_synth.fused_synthesis_detect(
                         seed, sqrt_psd, df, B // 2, W, pm,
@@ -703,6 +737,9 @@ class Fast:
             # TPU runtimes: ship (real, imag) floats, recombine on host
             return jnp.stack([out.real, out.imag], axis=-1)
 
+        # device-resident packed tables the caller must thread through as
+        # traced arguments (empty for every other synthesis path)
+        chunk.tables = colfac_args
         return chunk
 
     def _run_all_fn(self):
@@ -719,8 +756,12 @@ class Fast:
         """
         synth = self._synth
         if synth in ("pallas", "pallas_fused", "pallas_colfac"):
-            # the Pallas kernels take their tables as trace-time constants
+            # small per-config tables (sqrt-PSD, pupil) embed as
+            # trace-time constants; the colfac factor stacks ship as
+            # traced arguments (device-resident, `chunk.tables`) so the
+            # program stays compile-service-sized at any grid
             chunk = self._chunk_body()
+            tables = chunk.tables
             nchunks = self.Nchunks
             B = self.Niter_per_chunk
             niter = self.Niter
@@ -728,16 +769,19 @@ class Fast:
             dtype = self.dtype
 
             @jax.jit
-            def run_all(key_logamp, key_mc):
+            def run_all(key_logamp, key_mc, *tabs):
                 chi = synthesis.draw_logamp(key_logamp, niter, logamp_var,
                                             dtype=dtype)
                 keys = jax.vmap(lambda i: jax.random.fold_in(key_mc, i))(
                     jnp.arange(nchunks))
                 _, outs = jax.lax.scan(
-                    lambda c, inp: (c, chunk(inp[0], inp[1])), 0,
+                    lambda c, inp: (c, chunk(inp[0], inp[1], *tabs)), 0,
                     (keys, chi.reshape(nchunks, B)))
                 return outs.reshape((nchunks * B,) + outs.shape[2:])
 
+            if tables:
+                return lambda key_logamp, key_mc: run_all(
+                    key_logamp, key_mc, *tables)
             return run_all
 
         dt = np.dtype(str(self.dtype))
@@ -898,13 +942,15 @@ class Fast:
         with ctx:
             self._logamp_cache = np.asarray(synthesis.draw_logamp(
                 key_logamp, self.Niter, self.logamp_var, dtype=self.dtype))
-        chunk = jax.jit(self._chunk_body())
+        chunk = self._chunk_body()
+        tables = chunk.tables
+        chunk = jax.jit(chunk)
         B = self.Niter_per_chunk
         chi = jnp.asarray(self.logamp)
         outs = []
         for i in tqdm(range(self.Nchunks)):
             outs.append(chunk(jax.random.fold_in(key_mc, i),
-                              chi[i * B:(i + 1) * B]))
+                              chi[i * B:(i + 1) * B], *tables))
         coherent = bool(self.params["COHERENT"])
         I = np.concatenate([self._combine_complex(o, coherent) for o in outs])
         self.result = FastResult(I, self.diffraction_limit)

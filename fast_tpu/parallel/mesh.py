@@ -39,22 +39,30 @@ def _build_shard_fn(sim, mesh, nchunks, b_local, axis_name="mc"):
         chunk_body = sim._chunk_body()
     finally:
         sim.Niter_per_chunk = saved_b
+    # colfac factor stacks ride as replicated traced arguments (kept
+    # device-resident by the engine) so the program never embeds them
+    tables = chunk_body.tables
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(axis_name)), out_specs=P(axis_name),
+        in_specs=(P(), P(axis_name)) + (P(),) * len(tables),
+        out_specs=P(axis_name),
         # pallas_call's out_shape carries no varying-mesh-axes annotation
         check_vma=not sim._synth.startswith("pallas"))
-    def shard_fn(key_data, chi):
+    def shard_fn(key_data, chi, *tabs):
         key = jax.random.wrap_key_data(key_data, impl=rng_impl)
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         outs = []
         for i in range(nchunks):
             ki = jax.random.fold_in(key, i)
-            outs.append(chunk_body(ki, chi[i * b_local:(i + 1) * b_local]))
+            outs.append(chunk_body(ki, chi[i * b_local:(i + 1) * b_local],
+                                   *tabs))
         return jnp.concatenate(outs)
 
-    return jax.jit(shard_fn)
+    jitted = jax.jit(shard_fn)
+    if tables:
+        return lambda key_data, chi: jitted(key_data, chi, *tables)
+    return jitted
 
 
 def run_sharded(sim, mesh=None, seed=None):
