@@ -575,10 +575,15 @@ class Fast:
                 self._L_colfac = None
                 if dt == np.float32 and jax.default_backend() == "tpu":
                     # f32 factor build on the MXU (~30x the host f64 path);
-                    # ill-conditioned columns fall back below
+                    # ill-conditioned columns fall back below. Large
+                    # factor stacks build on host XLA f32 instead — the
+                    # accelerator round-trip is relay-transfer-bound
+                    # (see column_factors_device)
+                    npup_w = self._W_pruned.shape[0]
+                    big = self.Npxls * npup_w * npup_w * 8 > 128e6
                     L = synthesis.column_factors_device(
                         np.sqrt(self.powerspec), float(self.freq.main.df),
-                        self._W_pruned)
+                        self._W_pruned, host=big)
                     if np.isfinite(L).all():
                         self._L_colfac = L
                     else:

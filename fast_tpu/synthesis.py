@@ -138,8 +138,8 @@ def _column_factors_device(s_scaled, w2, jitter):
     return jnp.stack([L.real, L.imag])
 
 
-def column_factors_device(sqrt_powerspec, df, W, jitter=3e-6):
-    """Float32 colfac factorisation on the accelerator.
+def column_factors_device(sqrt_powerspec, df, W, jitter=3e-6, host=False):
+    """Float32 colfac factorisation on the accelerator (or host XLA).
 
     ~30x faster than the host float64 path (the build is a batched matmul
     + Cholesky — MXU work); the f32 factors reproduce the column
@@ -147,12 +147,26 @@ def column_factors_device(sqrt_powerspec, df, W, jitter=3e-6):
     non-finite column (ill-conditioned in f32 despite the scaled jitter)
     is detected by the caller, which falls back to the host float64 path.
     Returns (N, Npup, Npup) complex64.
+
+    ``host=True`` runs the same jitted program on the CPU backend: for
+    large grids the accelerator round-trip is transfer-bound through the
+    relay (1024²: ~63 s device compute + ~107 s fetching the 1.3 GB
+    factor stack vs ~51 s total on host XLA f32), so the engine routes
+    big builds here.
     """
     W = np.asarray(W)
     w2 = np.stack([W.real, W.imag]).astype(np.float32)
     s_scaled = (np.asarray(sqrt_powerspec) * float(df)).astype(np.float32)
-    l2 = np.asarray(_column_factors_device(
-        jnp.asarray(s_scaled), jnp.asarray(w2), jnp.float32(jitter)))
+    import contextlib
+    ctx = contextlib.nullcontext()
+    if host:
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:  # pragma: no cover
+            pass
+    with ctx:
+        l2 = np.asarray(_column_factors_device(
+            jnp.asarray(s_scaled), jnp.asarray(w2), jnp.float32(jitter)))
     return (l2[0] + 1j * l2[1]).astype(np.complex64)
 
 
