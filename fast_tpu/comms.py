@@ -203,6 +203,17 @@ def _modem_kernel(key_data, power, symbols_in, esn0_db, offset, q_lo, q_step,
             recv.real, recv.imag)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "M", "S", "noisy", "random_symbols"))
+def _modem_stats(*args, **kw):
+    """SEP/EVM only: XLA drops the stream output buffers entirely."""
+    return _modem_kernel(*args, **kw)[:2]
+
+
+_UNSET = object()  # distinguishes "never assigned" from an assigned None
+
+
 class Modulator:
     """Modulate/demodulate symbol streams over the MC power series.
 
@@ -218,6 +229,8 @@ class Modulator:
     reference cannot run this case at all (a complex per-iteration SNR
     reaches ``numpy.random.normal``'s sigma, ``fast/comms.py:78-80``).
     """
+
+    _demodulated = False
 
     def __init__(self, power, modulation, EsN0=None, symbols_per_iter=1000,
                  data=None, rng=None):
@@ -249,14 +262,18 @@ class Modulator:
             self._fixed_symbols = None
 
     def modulate(self):
+        self._modulate_impl()
+        return self.recv_signal  # materialises the stream (parity)
+
+    def _modulate_impl(self):
+        """Modulate without touching the lazy streams (used by run())."""
         if self.modulation is None:
             self.recv_signal = self.power
-            return self.recv_signal
+            return
         self.generate_symbols()
         self.constellation = define_constellation(self.modulation)
         self.Es = float((np.abs(self.constellation) ** 2).mean())
         self._run_kernel()
-        return self.recv_signal
 
     def _run_kernel(self):
         kind, M = self._kind, self.nsymbols
@@ -268,19 +285,72 @@ class Modulator:
         fixed = (self._fixed_symbols if self._fixed_symbols is not None
                  else np.zeros(self.symbols_per_iter, np.int32))
         noisy = self.EsN0 is not None
-        sep, evm, symbols, decisions, r, i = _modem_kernel(
+        self._kernel_args = (
             jax.random.key_data(self._key), jnp.asarray(self.power),
             jnp.asarray(fixed), jnp.float32(self.EsN0 if noisy else 0.0),
-            jnp.float32(self._offset), jnp.float32(q_lo), jnp.float32(q_step),
+            jnp.float32(self._offset), jnp.float32(q_lo),
+            jnp.float32(q_step))
+        self._kernel_kw = dict(
             kind=kind, M=M, S=self.symbols_per_iter, noisy=noisy,
             random_symbols=self._fixed_symbols is None)
-        self.symbols = np.asarray(symbols)
-        self._decisions = np.asarray(decisions)
+        # run the stats-only program: XLA dead-code-eliminates the
+        # (niter, S) stream output buffers, so sep/evm cost ~0.8 s at
+        # 2^20 x 32 symbols where materialising all four streams costs
+        # ~45 s through the relay. Reading symbols/recv_symbols/
+        # recv_signal lazily re-runs the full kernel with the SAME key —
+        # the streams are bit-identical to the ones the stats were
+        # computed from.
+        sep, evm = _modem_stats(*self._kernel_args, **self._kernel_kw)
+        self._streams = None
         self._sep = float(sep)
         self._evm = float(evm)
-        r, i = np.asarray(r), np.asarray(i)
-        self.recv_signal = r if kind == "ook" else r + 1j * i
         self._noisy = noisy
+
+    def _fetch_streams(self):
+        """Materialise the symbol/decision/recv streams (lazy, cached)."""
+        if self._streams is None:
+            _, _, symbols, decisions, r, i = _modem_kernel(
+                *self._kernel_args, **self._kernel_kw)
+            self._streams = (np.asarray(symbols), np.asarray(decisions),
+                             np.asarray(r), np.asarray(i))
+        return self._streams
+
+    @property
+    def symbols(self):
+        """Transmitted symbol indices (lazy stream materialisation)."""
+        if getattr(self, "_symbols_override", None) is not None:
+            return self._symbols_override
+        return self._fetch_streams()[0]
+
+    @symbols.setter
+    def symbols(self, value):
+        self._symbols_override = value
+
+    @property
+    def recv_signal(self):
+        """Received (noisy, faded) signal stream (lazy materialisation)."""
+        if getattr(self, "_recv_override", None) is not None:
+            return self._recv_override
+        _, _, r, i = self._fetch_streams()
+        return r if self._kind == "ook" else r + 1j * i
+
+    @recv_signal.setter
+    def recv_signal(self, value):
+        self._recv_override = value
+
+    @property
+    def recv_symbols(self):
+        """Hard symbol decisions (lazy materialisation; None pre-demod)."""
+        ov = getattr(self, "_recv_symbols_override", _UNSET)
+        if ov is not _UNSET:
+            return ov
+        if not self._demodulated:
+            return None
+        return self._fetch_streams()[1]
+
+    @recv_symbols.setter
+    def recv_symbols(self, value):
+        self._recv_symbols_override = value
 
     @property
     def awgn(self):
@@ -309,7 +379,7 @@ class Modulator:
         if self.modulation is None:
             self.recv_symbols = None
             return None
-        self.recv_symbols = self._decisions
+        self._demodulated = True
         if self.data is not None:
             self.recv_data = np.stack([
                 np.frombuffer(
@@ -331,8 +401,12 @@ class Modulator:
         return self.evm
 
     def run(self):
-        self.modulate()
-        self.demodulate()
+        self._modulate_impl()
+        # mark demodulated (decisions fetch lazily via recv_symbols);
+        # payload-data mode decodes eagerly — the decode needs the stream
+        self._demodulated = self.modulation is not None
+        if self.data is not None:
+            self.demodulate()
         self.compute_sep()
         self.compute_evm()
 
