@@ -28,8 +28,17 @@ from xprof.convert import raw_to_tool_data as rtd
 
 def main(path):
     import json
+    import os
+    import shutil
+    import tempfile
 
-    data, _ = rtd.xspace_to_tool_data([path], "op_profile", {})
+    # convert from a clean directory: the converter caches derived
+    # op_stats sidecars (ALL_HOSTS.op_stats.pb) next to the input and a
+    # stale one from a DIFFERENT trace silently shadows the file passed
+    with tempfile.TemporaryDirectory() as td:
+        tmp = os.path.join(td, os.path.basename(path))
+        shutil.copy(path, tmp)
+        data, _ = rtd.xspace_to_tool_data([tmp], "op_profile", {})
     d = json.loads(data if isinstance(data, str) else data.decode())
     prog = d["byProgram"]
     rows = []

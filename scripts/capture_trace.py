@@ -72,8 +72,13 @@ def main():
     shutil.rmtree(tmpdir, ignore_errors=True)
     with jax.profiler.trace(tmpdir):
         t0 = time.time()
+        # dispatch all reps back-to-back and materialise ONCE at the
+        # end: a per-rep fetch serialises the relay round-trip into the
+        # profiled window and shows up as >50% device IDLE
+        out = None
         for i in range(args.reps):
-            run(10 + i)
+            out = run_all(key, jax.random.fold_in(key, 10 + i))
+        _ = float(np.abs(np.asarray(out)).sum())
         traced_wall = time.time() - t0
 
     planes = glob.glob(os.path.join(tmpdir, "**", "*.xplane.pb"),
