@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--nchunks", type=int, default=1)
     ap.add_argument("--synth", default="pallas_colfac")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--temporal", action="store_true",
+                    help="trace the fused AR frozen-flow series program "
+                         "instead of the iid MC program")
     ap.add_argument("--out", default="docs/traces")
     args = ap.parse_args()
 
@@ -53,10 +56,16 @@ def main():
 
     from fast_tpu.ops.rng import make_key
 
-    sim = fast_tpu.Fast(g._flagship_params(
-        npxls=args.npxls, niter=args.niter, nchunks=args.nchunks,
-        RNG="rbg", SYNTH=args.synth))
-    run_all = sim._run_all_fn()  # the production jitted MC program
+    if args.temporal:
+        sim = fast_tpu.Fast(g._flagship_params(
+            npxls=args.npxls, niter=args.niter, nchunks=args.nchunks,
+            RNG="rbg", TEMPORAL=True, TEMPORAL_SYNTH="ar", DT=0.001))
+        run_all = sim._run_all_fn_temporal_ar()
+    else:
+        sim = fast_tpu.Fast(g._flagship_params(
+            npxls=args.npxls, niter=args.niter, nchunks=args.nchunks,
+            RNG="rbg", SYNTH=args.synth))
+        run_all = sim._run_all_fn()  # the production jitted MC program
     key = make_key(0, impl=sim.params["RNG"])
 
     def run(seed):
@@ -87,7 +96,8 @@ def main():
         print("no xplane produced")
         return 1
     os.makedirs(args.out, exist_ok=True)
-    name = (f"{args.synth.replace('pallas_', '')}_{args.npxls}"
+    tag = "ar" if args.temporal else args.synth.replace("pallas_", "")
+    name = (f"{tag}_{args.npxls}"
             f"_niter{args.niter}x{args.nchunks}.xplane.pb")
     dst = os.path.join(args.out, name)
     shutil.copy(planes[0], dst)

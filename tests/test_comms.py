@@ -259,8 +259,27 @@ class TestDevicePath:
         m.run()
         assert 0 <= m.sep < 0.5
         assert np.isfinite(m.evm)
-        # kernel is cached per static signature
-        assert comms._modem_kernel._cache_size() >= 1
+        # the stats-only program is cached per static signature (run()
+        # never materialises the streams, so the full kernel may be cold)
+        assert comms._modem_stats._cache_size() >= 1
+
+    def test_modem_lazy_streams_match_stats(self):
+        """run() reports stats from a stats-only program; the lazily
+        materialised streams (same-key full-kernel re-run) must
+        reproduce exactly those stats."""
+        power = np.exp(np.random.default_rng(3).normal(0, 0.3, 512))
+        m = comms.Modulator(power, "16-QAM", EsN0=10,
+                            symbols_per_iter=32, rng=11)
+        m.run()
+        sep_stats, evm_stats = m.sep, m.evm
+        tx = m.constellation[m.symbols]  # triggers the lazy stream run
+        sep_streams = float((m.recv_symbols != m.symbols).mean())
+        err = m.recv_signal - tx
+        # the kernel's EVM is mean(|err|) / rms(tx)
+        evm_streams = float(np.abs(err).mean()
+                            / np.sqrt((np.abs(tx) ** 2).mean()))
+        assert sep_streams == pytest.approx(sep_stats, abs=1e-12)
+        assert evm_streams == pytest.approx(evm_stats, rel=1e-5)
 
     def test_histograms_sharded_samples(self):
         """The PDF kernel accepts samples sharded over the mc axis."""
