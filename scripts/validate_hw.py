@@ -132,19 +132,36 @@ def fade_quantiles(x, qs=(1e-3, 1e-4, 1e-5)):
             for q in qs if q * len(x) >= 8}
 
 
+def fade_tol(nq):
+    """Seed-scatter gate (dB) by expected tail sample count ``n*q``.
+
+    Calibrated on the committed two-seed 8.4M-sample runs
+    (docs/validation.md §3): the q-th quantile's order statistic
+    scatters ~±0.3 dB at ~800 tail samples and ~±0.3-0.5 dB at ~84 —
+    a flat gate over-rejects the deepest quantile at any fixed n.
+    """
+    if nq >= 5000:
+        return 0.35
+    if nq >= 500:
+        return 0.6
+    if nq >= 50:
+        return 1.2
+    return 2.0
+
+
 def section_fades(n):
     print(f"\n== 3. deep-fade quantiles (n={n}/path) ==", flush=True)
-    tol = 0.35 if n >= 4e6 else 1.2  # dB; seed scatter shrinks with n
     base = power_samples(n, seed=41, SYNTH="colfac", MC_NOISE="gauss",
                          PRECISION="highest", NCHUNKS=max(1, n // 4096))
     dflt = power_samples(n, seed=42)  # SYNTH auto -> pallas_fused mixed
     qb, qd = fade_quantiles(base), fade_quantiles(dflt)
     for q in qb:
         diff = qd[q] - qb[q]
+        tol = fade_tol(q * n)
         record("fade", f"q={q:g}",
                f"default {qd[q]:.2f} dB vs f32-gauss {qb[q]:.2f} dB "
                f"(d={diff:+.2f})", abs(diff) < tol,
-               note=f"(gate {tol} dB at this n)")
+               note=f"(gate {tol} dB at {q * n:.0f} tail samples)")
 
 
 def section_temporal(nsteps):
