@@ -805,12 +805,30 @@ class Fast:
             M = np.asarray(self._sh_modes)
             C["sh_modes2"] = np.stack([M.real, M.imag]).astype(dt)
             C["sh_df"] = np.asarray(self._sh_df, dt)
+        C = self._device_pin("_iid_C_dev", C, (synth,))
         import functools as _ft
         return _ft.partial(
             _run_all_iid, C=C, synth=synth, nchunks=self.Nchunks,
             B=self.Niter_per_chunk, coherent=bool(self.params["COHERENT"]),
             subharm=bool(self.subharmonics), crop=self.pup_crop,
             precision=self.params["PRECISION"])
+
+    def _device_pin(self, name, C, extra_key=()):
+        """Pin a host table pytree on device, cached across calls.
+
+        The module-level run programs take their per-config tables as a
+        traced pytree argument; passing host numpy re-ships the (tens of
+        MB) tables through the relay on EVERY call — the committed AR
+        trace showed ~65% device idle from exactly this. Keyed on
+        ``_tables_version`` (+ path-specific extras) so regenerated
+        tables repin.
+        """
+        ver = (getattr(self, "_tables_version", 0),) + tuple(extra_key)
+        cached = getattr(self, name, None)
+        if cached is None or cached[0] != ver:
+            setattr(self, name,
+                    (ver, {k: jax.device_put(v) for k, v in C.items()}))
+        return getattr(self, name)[1]
 
     @staticmethod
     def _combine_complex(arr, coherent):
@@ -839,6 +857,7 @@ class Fast:
             temporal_ps=np.asarray(self.temporal_logamp_powerspec, dt),
             df=dt.type(self.freq.main.df), dx=dt.type(self.dx),
             norm=dt.type(self._norm), logamp_var=dt.type(self.logamp_var))
+        C = self._device_pin("_temporal_screens_C_dev", C)
         import functools as _ft
         return _ft.partial(
             _run_all_temporal_screens, C=C, nchunks=self.Nchunks,
@@ -901,7 +920,7 @@ class Fast:
                 if stream:
                     logger.info(
                         "AR state (%d layers x %d^2) needs ~%.0f MB VMEM "
-                        "— using the HBM-streamed kernel", L_layers, N,
+                        "— using the HBM-streamed kernel", len(self.h), N,
                         vmem_need / 1e6)
                 ph = np.exp(1j * phase) * self._ar_alpha[:, None, None]
                 C["ph2"] = np.stack([ph.real, ph.imag]).astype(dt_np)
@@ -910,6 +929,11 @@ class Fast:
                 if np.any(self._ar_alpha < 1.0):
                     C["ns"] = (sqrt1ma[:, None, None]
                                * np.float64(sqrt_psd_df)).astype(dt_np)
+        # pin the table pytree on device across calls: C is ~40 MB at the
+        # flagship 256² config and re-shipping it per call leaves the
+        # device ~65% idle (committed AR trace, BASELINE.md round 4) —
+        # same defect/fix as the scan runners' device-resident caches
+        C = self._device_pin("_temporal_C_dev", C, (stream,))
         import functools as _ft
         return _ft.partial(
             _run_all_temporal_ar, C=C, nchunks=self.Nchunks,
