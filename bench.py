@@ -259,6 +259,17 @@ def main():
         TEMPORAL_SYNTH="ar", DT=0.001))
     r_t = measure_rps(sim_t, 16384, rep_sets=5, reps=1, temporal=True)
 
+    # sustained: one dispatch per 131k-step series — long fading series
+    # are the production shape, and the committed AR trace shows the
+    # kernel needs 28.7 ms/16k steps while a dispatch costs ~30 ms of
+    # relay/draw overhead regardless of length
+    print("# 256^2 temporal AR sustained (131k-step series)",
+          file=sys.stderr)
+    sim_ts = fast_tpu.Fast(g._flagship_params(
+        npxls=256, niter=131072, nchunks=512, RNG="rbg", TEMPORAL=True,
+        TEMPORAL_SYNTH="ar", DT=0.001))
+    r_ts = measure_rps(sim_ts, 131072, rep_sets=4, reps=1, temporal=True)
+
     comms = measure_comms()
 
     mc_noise = sim.params.get("MC_NOISE", "mixed")
@@ -278,6 +289,7 @@ def main():
     _, tflops_512 = tfl(r512["best"], sim512._synth, sim512)
     _, tflops_1k = tfl(r1k["best"], sim1k._synth, sim1k)
     _, tflops_ar = tfl(r_t["best"], "ar", sim_t)
+    _, tflops_ar_sus = tfl(r_ts["best"], "ar", sim_ts)
     tflops_def_alg, tflops_def = tfl(r_def["best"], sim_def._synth, sim_def)
     tflops_def512_alg, tflops_def512 = tfl(
         r_def512["best"], sim_def512._synth, sim_def512)
@@ -299,6 +311,7 @@ def main():
         "tflops_default512_alg": tflops_def512_alg,
         "tflops_default512_total": tflops_def512,
         "tflops_ar_step": tflops_ar,
+        "tflops_ar_step_sustained": tflops_ar_sus,
         "mfu_256": mfu(tflops_256),
         "mfu_256_sustained": mfu(tflops_sus),
         "mfu_512": mfu(tflops_512),
@@ -308,6 +321,7 @@ def main():
         "mfu_default512_alg": mfu(tflops_def512_alg),
         "mfu_default512_total": mfu(tflops_def512),
         "mfu_ar": mfu(tflops_ar),
+        "mfu_ar_sustained": mfu(tflops_ar_sus),
         "sets_256": r256["sets"],
         "median_256": round(r256["median"], 1),
         "sets_256_sustained": r_sus["sets"],
@@ -331,6 +345,8 @@ def main():
             "mc_realizations_per_sec_512sq_chip": round(r512["best"], 1),
             "mc_realizations_per_sec_1024sq_chip": round(r1k["best"], 1),
             "temporal_ar_steps_per_sec_256sq": round(r_t["best"], 1),
+            "temporal_ar_steps_per_sec_256sq_sustained":
+                round(r_ts["best"], 1),
             "default_config_rps_256sq": round(r_def["best"], 1),
             "default_config_rps_512sq": round(r_def512["best"], 1),
             **comms,
