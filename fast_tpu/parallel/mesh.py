@@ -106,7 +106,15 @@ def run_sharded(sim, mesh=None, seed=None):
     chi = synthesis.draw_logamp(key_logamp, niter, sim.logamp_var,
                                 dtype=sim.dtype)
 
-    shard_fn = _build_shard_fn(sim, mesh, nchunks, b_local, axis_name)
+    # cache the built (jitted) shard program on the sim: rebuilding it
+    # per call re-traces and re-embeds the closure tables every run
+    fn_key = (mesh, nchunks, b_local, axis_name,
+              getattr(sim, "_tables_version", 0))
+    cached = getattr(sim, "_shard_fn_cache", None)
+    if cached is None or cached[0] != fn_key:
+        sim._shard_fn_cache = (
+            fn_key, _build_shard_fn(sim, mesh, nchunks, b_local, axis_name))
+    shard_fn = sim._shard_fn_cache[1]
     with mesh:
         out = shard_fn(jax.random.key_data(key_mc), chi)
 
