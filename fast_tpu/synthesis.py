@@ -148,26 +148,52 @@ def column_factors_device(sqrt_powerspec, df, W, jitter=3e-6, host=False):
     is detected by the caller, which falls back to the host float64 path.
     Returns (N, Npup, Npup) complex64.
 
-    ``host=True`` runs the same jitted program on the CPU backend: for
-    large grids the accelerator round-trip is transfer-bound through the
-    relay (1024²: ~63 s device compute + ~107 s fetching the 1.3 GB
-    factor stack vs ~51 s total on host XLA f32), so the engine routes
-    big builds here.
+    ``host=True`` computes the same f32 factorisation in pure
+    numpy/BLAS: for large grids the accelerator round-trip is
+    transfer-bound through the relay (1024²: ~63 s device compute +
+    ~107 s fetching the 1.3 GB factor stack), so the engine routes big
+    builds to the host. Deliberately NOT a CPU-backend jax program — a
+    second-backend compile inside a live TPU-relay process can deadlock
+    against the remote-compile intercept (observed in-bench).
     """
+    if host:
+        return _column_factors_numpy_f32(sqrt_powerspec, df, W, jitter)
     W = np.asarray(W)
     w2 = np.stack([W.real, W.imag]).astype(np.float32)
     s_scaled = (np.asarray(sqrt_powerspec) * float(df)).astype(np.float32)
-    import contextlib
-    ctx = contextlib.nullcontext()
-    if host:
-        try:
-            ctx = jax.default_device(jax.devices("cpu")[0])
-        except RuntimeError:  # pragma: no cover
-            pass
-    with ctx:
-        l2 = np.asarray(_column_factors_device(
-            jnp.asarray(s_scaled), jnp.asarray(w2), jnp.float32(jitter)))
+    l2 = np.asarray(_column_factors_device(
+        jnp.asarray(s_scaled), jnp.asarray(w2), jnp.float32(jitter)))
     return (l2[0] + 1j * l2[1]).astype(np.complex64)
+
+
+def _column_factors_numpy_f32(sqrt_powerspec, df, W, jitter=3e-6):
+    """Pure-numpy/BLAS f32 colfac factorisation.
+
+    Same math as :func:`_column_factors_device`: per column,
+    ``C_m = X_m X_m^H`` with ``X_m = W diag(S[:, m])`` via BLAS ``cherk``
+    (hermitian rank-k — half the gemm FLOPs; only the lower triangle is
+    formed, which is all LAPACK ``potrf``/``np.linalg.cholesky`` reads),
+    scaled-jitter diagonal, Cholesky. The trace floor uses one sgemm:
+    ``diag(C_m)_p = Σ_n |W[p,n]|² S[n,m]²``.
+    """
+    from scipy.linalg.blas import cherk
+
+    W = np.ascontiguousarray(np.asarray(W, np.complex64))
+    S = (np.asarray(sqrt_powerspec, np.float64) * float(df)).astype(
+        np.float32)  # (N, ncols)
+    npup = W.shape[0]
+    ncols = S.shape[1]
+    # per-column mean diagonal power, all columns in one sgemm
+    trs = ((np.abs(W) ** 2) @ (S ** 2)).mean(axis=0).astype(np.float64)
+    trs = np.maximum(trs, trs.mean() * 1e-3 + 1e-30)
+    L = np.empty((ncols, npup, npup), np.complex64)
+    for m in range(ncols):
+        X = W * S[:, m]
+        C = cherk(1.0, X, lower=1)
+        # einsum view: writable diagonal regardless of BLAS memory order
+        np.einsum("ii->i", C)[:] += np.float32(jitter * trs[m])
+        L[m] = np.linalg.cholesky(C)
+    return L
 
 
 def synthesize_screens_colfac(key, L, W, nbatch, precision="highest"):
