@@ -695,7 +695,15 @@ class Fast:
                             ksub, sqrt_psd_sh, sh_df, sh_modes, B // 2,
                             crop=crop), pm.shape[0])
                 if synth == "pallas_colfac":
-                    l2_t, w2_t = tables if tables else colfac_args
+                    if not tables:
+                        # closing over the device arrays instead would
+                        # silently re-embed the (possibly GB-scale)
+                        # stacks as trace-time constants — fail loudly
+                        raise ValueError(
+                            "pallas_colfac chunk requires the packed "
+                            "factor tables as call arguments "
+                            "(chunk.tables)")
+                    l2_t, w2_t = tables
                     c = pallas_synth.fused_colfac_detect_packed(
                         seed, l2_t, w2_t, pm, B // 2, b_tile, m_tile,
                         precision=precision, subharm_screens=sh,
@@ -747,7 +755,29 @@ class Fast:
         chunk.tables = colfac_args
         return chunk
 
+    def _cached_run_fn(self, kind, build, extra=()):
+        """Single-slot cache for the built whole-run callables.
+
+        Rebuilding per call re-traces the pallas-branch jit closure and
+        reconstructs the host table pytrees (tens of MB of np.exp/stack
+        work) just to throw them away on the `_device_pin` hit — a warm
+        ``run()`` should pay neither. Keyed on the tables version (+
+        path extras) so regenerated tables rebuild.
+        """
+        key = (kind,) + tuple(extra) + (getattr(self, "_tables_version", 0),)
+        cached = getattr(self, "_run_fn_cache", None)
+        if cached is None or cached[0] != key:
+            self._run_fn_cache = (key, build())
+        return self._run_fn_cache[1]
+
     def _run_all_fn(self):
+        from .ops import pallas_synth
+        layout = (pallas_synth.colfac_layout()
+                  if self._synth == "pallas_colfac" else None)
+        return self._cached_run_fn("iid", self._build_run_all_fn,
+                                   (self._synth, layout))
+
+    def _build_run_all_fn(self):
         """One jitted program for the whole run: ``lax.scan`` over chunks.
 
         A single device dispatch regardless of NCHUNKS — chunking bounds
@@ -839,6 +869,10 @@ class Fast:
         return arr
 
     def _run_all_fn_temporal(self):
+        return self._cached_run_fn("temporal_screens",
+                                   self._build_run_all_fn_temporal)
+
+    def _build_run_all_fn_temporal(self):
         """One jitted frozen-flow program: ``lax.scan`` over chunks.
 
         The per-chunk trajectory is affine in the chunk index
@@ -865,6 +899,10 @@ class Fast:
             temporal_chi=True)
 
     def _run_all_fn_temporal_ar(self):
+        return self._cached_run_fn("temporal_ar",
+                                   self._build_run_all_fn_temporal_ar)
+
+    def _build_run_all_fn_temporal_ar(self):
         """One jitted AR(1)-in-Fourier frozen-flow program on the fixed grid.
 
         Outer ``lax.scan`` over chunks, inner scan over steps (cheap

@@ -39,9 +39,14 @@ def _build_shard_fn(sim, mesh, nchunks, b_local, axis_name="mc"):
         chunk_body = sim._chunk_body()
     finally:
         sim.Niter_per_chunk = saved_b
-    # colfac factor stacks ride as replicated traced arguments (kept
-    # device-resident by the engine) so the program never embeds them
-    tables = chunk_body.tables
+    # colfac factor stacks ride as replicated traced arguments so the
+    # program never embeds them. Re-pin them with the mesh-replicated
+    # sharding here: the engine pins on the default device only, and a
+    # sharding-mismatched input would be re-broadcast across the mesh
+    # on EVERY call (the per-call-shipping defect this design removes)
+    from jax.sharding import NamedSharding
+    tables = tuple(jax.device_put(t, NamedSharding(mesh, P()))
+                   for t in chunk_body.tables)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -108,7 +113,10 @@ def run_sharded(sim, mesh=None, seed=None):
 
     # cache the built (jitted) shard program on the sim: rebuilding it
     # per call re-traces and re-embeds the closure tables every run
-    fn_key = (mesh, nchunks, b_local, axis_name,
+    from ..ops import pallas_synth
+    layout = (pallas_synth.colfac_layout()
+              if sim._synth == "pallas_colfac" else None)
+    fn_key = (mesh, nchunks, b_local, axis_name, layout,
               getattr(sim, "_tables_version", 0))
     cached = getattr(sim, "_shard_fn_cache", None)
     if cached is None or cached[0] != fn_key:

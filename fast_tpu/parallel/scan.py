@@ -585,9 +585,14 @@ def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):
             # guarantee (Mosaic stack-allocates temporaries it is free
             # to reuse) — a compile-time scoped-vmem OOM lands here;
             # fall back to the per-series XLA path. jit does not cache
-            # failures, so memoise the config to avoid re-paying the
-            # failed remote compile on every warm call of an orbit loop.
-            _AR_BATCH_COMPILE_FAILED.add(batch_cfg)
+            # failures, so memoise DETERMINISTIC (VMEM/Mosaic) failures
+            # to avoid re-paying the failed remote compile every warm
+            # call — but let transient relay/pool errors retry next
+            # call rather than silently degrading the process for good.
+            msg = str(e).lower()
+            if any(t in msg for t in ("vmem", "mosaic", "scoped",
+                                      "resource_exhausted")):
+                _AR_BATCH_COMPILE_FAILED.add(batch_cfg)
             logger.warning(
                 "batched AR kernel failed to compile (%s); falling "
                 "back to the per-series scan path", type(e).__name__)

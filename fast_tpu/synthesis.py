@@ -192,7 +192,13 @@ def _column_factors_numpy_f32(sqrt_powerspec, df, W, jitter=3e-6):
         C = cherk(1.0, X, lower=1)
         # einsum view: writable diagonal regardless of BLAS memory order
         np.einsum("ii->i", C)[:] += np.float32(jitter * trs[m])
-        L[m] = np.linalg.cholesky(C)
+        try:
+            L[m] = np.linalg.cholesky(C)
+        except np.linalg.LinAlgError:
+            # ill-conditioned in f32 despite the scaled jitter: mark the
+            # column NaN (matching the device path's behaviour) so the
+            # caller's finite-check falls back to the f64 factorisation
+            L[m] = np.nan
     return L
 
 
