@@ -161,3 +161,31 @@ def test_result_units():
     assert np.isclose(r.avg_power_dBm, 10 * np.log10(r.avg_power_W / 1e-3))
     si = (np.array([0.5, 1, 2]) / np.array([0.5, 1, 2]).mean()).var()
     assert np.isclose(r.scintillation_index, si)
+
+
+def test_run_fn_cached_across_calls():
+    """Warm repeat run() reuses the built whole-run program (no
+    re-trace, no host table-pytree rebuild); a tables-version bump
+    rebuilds it (round-4 review fix)."""
+    sim = fast_tpu.Fast(make_test_params(TEMPORAL=False))
+    fn1 = sim._run_all_fn()
+    fn2 = sim._run_all_fn()
+    assert fn1 is fn2
+    sim._tables_version = getattr(sim, "_tables_version", 0) + 1
+    assert sim._run_all_fn() is not fn1
+
+
+def test_colfac_chunk_requires_table_args():
+    """A pallas_colfac chunk called without its packed-table arguments
+    raises instead of silently re-embedding the (possibly GB-scale)
+    factor stacks as trace-time constants (round-4 review fix)."""
+    import jax
+
+    sim = fast_tpu.Fast(make_test_params(TEMPORAL=False,
+                                         SYNTH="pallas_colfac"))
+    chunk = sim._chunk_body()
+    assert len(chunk.tables) == 2
+    key = jax.random.key(0)
+    chi = np.zeros(sim.Niter_per_chunk, np.float32)
+    with pytest.raises(ValueError, match="packed"):
+        chunk(key, chi)
