@@ -84,6 +84,35 @@ def kernel_flops_per_screen(synth, N, npup, mc_noise="mixed"):
     return None, None
 
 
+def probe_backend(timeout_s=90):
+    """True if the TPU backend initialises in a throwaway subprocess.
+
+    The axon relay can go down for an hour+ (CLAUDE.md); when it does,
+    any in-process ``jax.devices()`` BLOCKS indefinitely with no error,
+    which would hang the driver's bench run. A subprocess probe can be
+    killed; the main process only touches jax once a probe succeeds.
+    """
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_backend(attempts=12, wait_s=120):
+    """Probe until the backend answers; False after ~25 min of outage."""
+    for i in range(attempts):
+        if probe_backend():
+            return True
+        print(f"# TPU backend unreachable (probe {i + 1}/{attempts}); "
+              f"retrying in {wait_s}s", file=sys.stderr)
+        time.sleep(wait_s)
+    return False
+
+
 def measure_reference():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests",
@@ -187,6 +216,20 @@ def measure_comms():
 
 
 def main():
+    if not wait_for_backend():
+        # Emit a parseable record rather than hanging the driver: the
+        # relay outage is an environment failure, not a perf result.
+        print(json.dumps({
+            "metric": "mc_realizations_per_sec_256sq_chip",
+            "value": None,
+            "unit": "realizations/s",
+            "vs_baseline": None,
+            "error": "TPU backend unreachable (axon relay outage): "
+                     "backend-init probe subprocesses timed out for "
+                     "~25 min; see CLAUDE.md environment gotchas",
+        }))
+        return
+
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_fast_tpu"))
