@@ -351,6 +351,14 @@ def main():
                     help="8.4M-sample fade runs (docs/validation.md §3)")
     args = ap.parse_args()
 
+    # Probe in a killable subprocess first: during an axon relay outage
+    # an in-process backend init blocks indefinitely (CLAUDE.md).
+    import bench
+    if not bench.probe_backend():
+        print("TPU backend unreachable (axon relay outage?) — "
+              "backend-init probe timed out")
+        return 2
+
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_fast_tpu"))

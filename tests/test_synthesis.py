@@ -68,6 +68,26 @@ def test_colfac_handles_masked_columns():
     assert np.isfinite(scr).all()
 
 
+def test_column_factors_host_blas_matches_f64():
+    """The pure-BLAS host f32 path (used for big grids) matches the f64
+    factorisation's column covariances, including fully-masked columns."""
+    N, lo, hi = 64, 20, 44
+    rng = np.random.default_rng(7)
+    sqrt_ps = (rng.random((N, N)) + 0.1).astype(np.float64)
+    sqrt_ps[:, 5] = 0.0  # one fully-masked column
+    Wd = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex128)
+    L64 = synthesis.column_factors(sqrt_ps, 0.7, Wd)
+    Lh = synthesis.column_factors_device(
+        sqrt_ps, 0.7, Wd.astype(np.complex64), host=True)
+    assert Lh.dtype == np.complex64
+    assert np.isfinite(Lh).all()
+    C64 = np.einsum("mpq,mrq->mpr", L64, L64.conj())
+    Ch = np.einsum("mpq,mrq->mpr", Lh.astype(np.complex128),
+                   Lh.conj().astype(np.complex128))
+    rel = np.abs(Ch - C64).max() / np.abs(C64).max()
+    assert rel < 1e-4
+
+
 def test_column_factors_device_matches_host():
     """f32 accelerator factorisation reproduces the f64 column covariances."""
     N, lo, hi = 128, 40, 88
