@@ -189,3 +189,33 @@ def test_colfac_chunk_requires_table_args():
     chi = np.zeros(sim.Niter_per_chunk, np.float32)
     with pytest.raises(ValueError, match="packed"):
         chunk(key, chi)
+
+
+def test_f32_factor_nan_falls_back_to_f64(monkeypatch):
+    """A NaN-marked f32 colfac factor build (ill-conditioned column on
+    the device or host BLAS path) falls back to the float64
+    factorisation (engine.py init, round-4 behaviour)."""
+    import jax
+
+    from fast_tpu import engine, synthesis
+
+    calls = {}
+
+    def nan_factors(sqrt_ps, df, W, jitter=3e-6, host=False):
+        calls["host"] = host
+        n, npup = W.shape[1], W.shape[0]
+        return np.full((n, npup, npup), np.nan, np.complex64)
+
+    monkeypatch.setattr(engine.synthesis, "column_factors_device",
+                        nan_factors)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    sim = fast_tpu.Fast(make_test_params(TEMPORAL=False, SYNTH="colfac"))
+    assert calls  # the f32 build was attempted
+    assert sim._L_colfac.dtype == np.complex64
+    assert np.isfinite(sim._L_colfac).all()
+    # and the fallback table really is the f64 factorisation
+    W64 = synthesis.pruned_ift2_matrix(sim.Npxls, *sim.pup_crop,
+                                       dtype=np.complex128)
+    L64 = synthesis.column_factors(
+        np.sqrt(sim.powerspec), float(sim.freq.main.df), W64)
+    assert np.allclose(sim._L_colfac, L64.astype(np.complex64))

@@ -102,3 +102,28 @@ def test_column_factors_device_matches_host():
                     L32.conj().astype(np.complex128))
     rel = np.abs(C32 - C64).max() / np.abs(C64).max()
     assert rel < 1e-4
+
+
+def test_host_blas_marks_failed_columns_nan(monkeypatch):
+    """A column whose f32 Cholesky fails is marked NaN (not raised), so
+    the engine's finite-check falls back to the f64 factorisation."""
+    N, lo, hi = 32, 10, 22
+    rng = np.random.default_rng(11)
+    sqrt_ps = (rng.random((N, N)) + 0.1).astype(np.float64)
+    W = synthesis.pruned_ift2_matrix(N, lo, hi, dtype=np.complex128)
+
+    real_chol = np.linalg.cholesky
+    count = {"n": 0}
+
+    def flaky(a):
+        count["n"] += 1
+        if count["n"] == 3:
+            raise np.linalg.LinAlgError("simulated f32 breakdown")
+        return real_chol(a)
+
+    monkeypatch.setattr(np.linalg, "cholesky", flaky)
+    L = synthesis._column_factors_numpy_f32(sqrt_ps, 0.7, W)
+    assert np.isnan(L[2]).all()
+    ok = np.ones(N, bool)
+    ok[2] = False
+    assert np.isfinite(L[ok]).all()
