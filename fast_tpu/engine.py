@@ -137,10 +137,7 @@ class Fast:
             with self.profile.stage("link_budget"):
                 self.compute_link_budget()
             with self.profile.stage("powerspec"):
-                self.compute_powerspec()
-
-        with self.profile.stage("device_constants"):
-            self._prepare_device_constants()
+                self.compute_powerspec()  # ends in _prepare_device_constants
 
     # ------------------------------------------------------------------
     # initialisation pipeline
@@ -516,6 +513,12 @@ class Fast:
         # flowing silently into the Monte Carlo program
         self.validate()
 
+        # rebuild the device tables and bump _tables_version so cached
+        # run programs never embed spectra (or logamp_var) from a
+        # previous compute_powerspec call
+        with self.profile.stage("device_constants"):
+            self._prepare_device_constants()
+
     # ------------------------------------------------------------------
     # Monte Carlo run
     # ------------------------------------------------------------------
@@ -623,11 +626,13 @@ class Fast:
     def set_seed(self, seed):
         self.seed = seed
 
-    def _chunk_body(self):
+    def _chunk_body(self, pin_tables=True):
         """The per-chunk Monte Carlo program (iid draws), unjitted.
 
         Shared by the jitted single-chunk path, the all-chunks ``lax.scan``
-        path and the sharded runner.
+        path and the sharded runner. ``pin_tables=False`` leaves
+        ``chunk.tables`` as host arrays for callers that apply their own
+        device placement (the mesh runner).
         """
         B = self.Niter_per_chunk
         df = float(self.freq.main.df)
@@ -666,15 +671,22 @@ class Fast:
                     Lnp, np.asarray(W), precision, noise=mc_noise))
             if layout == "merged":
                 b_tile, m_tile = pallas_synth.colfac_tile_select_merged(
-                    B // 2, ncols, npup_, precision, 128, None)
+                    B // 2, ncols, npup_, precision)
             else:
                 b_tile, m_tile = pallas_synth.colfac_tile_select(
-                    B // 2, ncols, npup_, precision, 64, None)
-            devc = getattr(self, "_colfac_packed_dev", None)
-            if devc is None or devc[0] != key_pk:
-                self._colfac_packed_dev = (key_pk, tuple(
-                    jax.device_put(t) for t in self._colfac_packed[1]))
-            colfac_args = self._colfac_packed_dev[1]
+                    B // 2, ncols, npup_, precision)
+            if pin_tables:
+                devc = getattr(self, "_colfac_packed_dev", None)
+                if devc is None or devc[0] != key_pk:
+                    self._colfac_packed_dev = (key_pk, tuple(
+                        jax.device_put(t) for t in self._colfac_packed[1]))
+                colfac_args = self._colfac_packed_dev[1]
+            else:
+                # host tables: the caller pins with its own sharding (the
+                # mesh runner replicates them itself — a default-device
+                # pin here would be a dead second HBM copy of a stack
+                # that reaches ~GB at 1024^2)
+                colfac_args = self._colfac_packed[1]
         if subharm:
             sqrt_psd_sh = self._sqrt_psd_sh
             sh_modes = self._sh_modes

@@ -28,6 +28,19 @@ logger = logging.getLogger(__name__)
 
 _LANE = 128
 
+# FAST_TPU_COLFAC_PROBE=noprng: occupancy-probe mode for the merged colfac
+# kernel (wrong statistics — one PRNG draw reused for every column; see
+# BASELINE.md roofline analysis). Resolved ONCE at import so the flag can
+# never flip between traces inside one process: probe runs use a dedicated
+# process, and every cached program in a production process is guaranteed
+# untouched by it. Also threaded through the kernel call as a jit-static
+# argument, so even an aliased cache key could not mix the two variants.
+import os as _os
+_PROBE_NOPRNG = _os.environ.get("FAST_TPU_COLFAC_PROBE") == "noprng"
+if _PROBE_NOPRNG:
+    logger.warning("FAST_TPU_COLFAC_PROBE=noprng: colfac statistics are "
+                   "INVALID in this process (occupancy probe only)")
+
 _PRECISIONS = {
     "highest": jax.lax.Precision.HIGHEST,  # multi-pass f32 on the MXU
     # Mosaic only legalizes DEFAULT and HIGHEST dots; 'high' (bf16x3)
@@ -656,7 +669,8 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
 
 def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
                                  out_ref, accr_ref, acci_ref, g_ref, *,
-                                 m_tile, n_mb, precision, premixed=False):
+                                 m_tile, n_mb, precision, premixed=False,
+                                 probe_noprng=False):
     """Merged-dot variant of :func:`_colfac_detect_kernel`.
 
     Identical algorithm and *identical random variables* (same PRNG seed
@@ -713,12 +727,12 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
     sdt = s_ref.dtype
     gdt = g_ref.dtype
 
-    # FAST_TPU_COLFAC_PROBE=noprng: occupancy probe ONLY (wrong statistics
-    # — one draw reused for every column). Isolates the per-column VPU
-    # PRNG+convert cost from the MXU dots for the roofline analysis in
-    # BASELINE.md; read at trace time, never set in production.
-    import os
-    probe_noprng = os.environ.get("FAST_TPU_COLFAC_PROBE") == "noprng"
+    # probe_noprng: occupancy probe ONLY (wrong statistics — one draw
+    # reused for every column). Isolates the per-column VPU PRNG+convert
+    # cost from the MXU dots for the roofline analysis in BASELINE.md.
+    # Threaded through as a jit-static argument (NOT read from the
+    # environment here) so the probe and production variants can never
+    # alias in the trace cache.
     z_fixed = draw().astype(sdt) if probe_noprng else None
 
     def col(m, _):
@@ -767,10 +781,10 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
 
 @functools.partial(jax.jit, static_argnames=("nbatch", "b_tile", "m_tile",
                                              "interpret", "precision",
-                                             "premixed"))
+                                             "premixed", "probe_noprng"))
 def _colfac_detect_call_merged(seed, s, w3, pm, nbatch, b_tile, m_tile,
                                interpret=False, precision="default",
-                               sh=None, premixed=False):
+                               sh=None, premixed=False, probe_noprng=False):
     with jax.enable_x64(False):
         ncols = s.shape[0]
         P = s.shape[1] // 2
@@ -809,7 +823,8 @@ def _colfac_detect_call_merged(seed, s, w3, pm, nbatch, b_tile, m_tile,
         )
         kern = functools.partial(
             _colfac_detect_kernel_merged, m_tile=m_tile, n_mb=n_mb,
-            precision=_precision(precision), premixed=premixed)
+            precision=_precision(precision), premixed=premixed,
+            probe_noprng=probe_noprng)
 
         def _shim(seed_ref, s_ref, w3_ref, pm_ref, *rest):
             rest = list(rest)
@@ -1351,17 +1366,19 @@ def ar_flow_fused_batch(seed, a0, step_phasor_scaled, noise_scale, W,
     return out, a_final
 
 
-def colfac_tile_select(nbatch, ncols, npup, precision, b_tile=64,
+def colfac_tile_select(nbatch, ncols, npup, precision, b_tile=None,
                        m_tile=None):
     """Static (b_tile, m_tile) selection for the colfac kernel.
 
     ``b_tile``/``m_tile`` are caps: the actual tiles are the largest
     divisors of ``nbatch`` / ``ncols`` not exceeding them, so any batch
     size and grid size work (awkward primes just run smaller tiles).
-    ``m_tile=None`` auto-sizes: when the whole padded factor tensor fits
-    a ~36 MB VMEM block it is loaded once (``m_tile=ncols``; measured
-    +6% at 256^2 vs streaming in 64-column blocks), else 64-column
-    streaming.
+    ``None`` auto-sizes; an explicitly passed cap is honored in every
+    branch (a caller shrinking tiles after a VMEM compile failure must
+    not get its cap silently overwritten). ``m_tile=None`` auto-sizing:
+    when the whole padded factor tensor fits a ~36 MB VMEM block it is
+    loaded once (``m_tile=ncols``; measured +6% at 256^2 vs streaming in
+    64-column blocks), else 64-column streaming.
     """
     P = _round_up(npup, _LANE)
     itemsize = 4 if precision != "default" else 2
@@ -1371,21 +1388,28 @@ def colfac_tile_select(nbatch, ncols, npup, precision, b_tile=64,
         # dot latency, measured +12% at 256^2) and the whole factor
         # tensor in VMEM (fetched once). Budget calibrated on v5e
         # (67 MB fails to compile, <=50 MB passes).
+        cap = 128 if b_tile is None else b_tile
+
         def vmem(b, m):
             return (2 * b * P * P * 4          # f32 screen accumulators
                     + 2 * m * b * P * itemsize  # G scratch
                     + 2 * m * P * P * itemsize)  # factor block
         for b_c, m_c in ((128, ncols), (64, ncols), (128, 64), (64, 64),
                          (32, 64), (16, 64), (8, 64)):
+            b_c = min(b_c, cap)
             if vmem(b_c, m_c) <= 55e6:
                 b_tile, m_tile = b_c, m_c
                 break
         else:  # huge pupils: smallest tiles, let the compiler arbitrate
-            b_tile, m_tile = 8, 8
+            b_tile, m_tile = min(8, cap), 8
     elif m_tile is None:
         # HIGHEST-precision (multi-pass) dots need extra VMEM headroom —
         # keep the small streaming tiles there
         m_tile = 64
+        if b_tile is None:
+            b_tile = 64
+    elif b_tile is None:
+        b_tile = 64
     return _auto_tile(nbatch, b_tile), _auto_tile(ncols, m_tile)
 
 
@@ -1455,17 +1479,19 @@ def colfac_pack_tables_merged(L, W, precision, noise="gauss"):
     return S.astype(tdt), w3.astype(tdt)
 
 
-def colfac_tile_select_merged(nbatch, ncols, npup, precision, b_tile=128,
+def colfac_tile_select_merged(nbatch, ncols, npup, precision, b_tile=None,
                               m_tile=None):
     """Static (b_tile, m_tile) selection for the merged-dot colfac kernel.
 
-    Same contract as :func:`colfac_tile_select`; the VMEM model differs
+    Same contract as :func:`colfac_tile_select` (``None`` auto-sizes, an
+    explicit cap is honored in every branch); the VMEM model differs
     (4 P^2 per column of streamed S block, double-buffered by the
     pipeline, + the (2, m, b, P) G scratch + two f32 accumulators).
     """
     P = _round_up(npup, _LANE)
     itemsize = 4 if precision != "default" else 2
     if m_tile is None:
+        cap = 128 if b_tile is None else b_tile
 
         def vmem(b, m):
             return (2 * b * P * P * 4            # f32 screen accumulators
@@ -1474,11 +1500,14 @@ def colfac_tile_select_merged(nbatch, ncols, npup, precision, b_tile=128,
 
         for b_c, m_c in ((128, 128), (128, 64), (64, 64), (32, 64),
                          (16, 64), (8, 64)):
+            b_c = min(b_c, cap)
             if vmem(b_c, m_c) <= 55e6:
                 b_tile, m_tile = b_c, m_c
                 break
         else:  # huge pupils: smallest tiles, let the compiler arbitrate
-            b_tile, m_tile = 8, 8
+            b_tile, m_tile = min(8, cap), 8
+    elif b_tile is None:
+        b_tile = 128
     return _auto_tile(nbatch, b_tile), _auto_tile(ncols, m_tile)
 
 
@@ -1527,7 +1556,7 @@ def fused_colfac_detect_packed(seed, l2, w2, pupil_mode, nbatch, b_tile,
         return _colfac_detect_call_merged(
             seed, l2, w2, pm, int(nbatch), int(b_tile), int(m_tile),
             interpret=interpret, precision=precision, sh=subharm_screens,
-            premixed=(noise == "mixed"))
+            premixed=(noise == "mixed"), probe_noprng=_PROBE_NOPRNG)
     return _colfac_detect_call(seed, l2, w2, pm, int(nbatch), int(b_tile),
                                int(m_tile), interpret=interpret,
                                precision=precision, sh=subharm_screens,
@@ -1780,11 +1809,11 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=None,
     layout = colfac_layout(layout)
     if layout == "merged":
         b_tile, m_tile = colfac_tile_select_merged(
-            nbatch, ncols, npup, precision, b_tile or 128, m_tile)
+            nbatch, ncols, npup, precision, b_tile, m_tile)
         l2, w2 = colfac_pack_tables_merged(L, W, precision, noise=noise)
     else:
         b_tile, m_tile = colfac_tile_select(nbatch, ncols, npup, precision,
-                                            b_tile or 64, m_tile)
+                                            b_tile, m_tile)
         l2, w2 = colfac_pack_tables(L, W, precision, noise=noise)
     return fused_colfac_detect_packed(
         seed, jnp.asarray(l2), jnp.asarray(w2), np.asarray(pupil_mode),

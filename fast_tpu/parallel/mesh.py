@@ -36,7 +36,10 @@ def _build_shard_fn(sim, mesh, nchunks, b_local, axis_name="mc"):
     saved_b = sim.Niter_per_chunk
     sim.Niter_per_chunk = b_local
     try:
-        chunk_body = sim._chunk_body()
+        # pin_tables=False: the factor stacks are pinned below with the
+        # mesh-replicated sharding; a default-device pin inside
+        # _chunk_body would be a dead second HBM copy
+        chunk_body = sim._chunk_body(pin_tables=False)
     finally:
         sim.Niter_per_chunk = saved_b
     # colfac factor stacks ride as replicated traced arguments so the

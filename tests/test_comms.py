@@ -321,3 +321,24 @@ class TestFastFSOC:
         m_new.run()
         assert abs(m_ref.sep - m_new.sep) < 0.02
         assert abs(m_ref.evm - m_new.evm) < 0.02
+
+
+def test_modulate_path_single_program(monkeypatch):
+    """The eager modulate()/demodulate() workflow runs ONE modem program
+    (the full kernel); its sep/evm are captured so compute_sep costs no
+    extra dispatch — and the stats-only program never runs."""
+    power = np.exp(np.random.default_rng(5).normal(0, 0.3, 256))
+    calls = {"stats": 0}
+    real = comms._modem_stats
+
+    def counting(*a, **k):
+        calls["stats"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(comms, "_modem_stats", counting)
+    m = comms.Modulator(power, "QPSK", EsN0=12, symbols_per_iter=16, rng=2)
+    m.modulate()
+    m.demodulate()
+    assert m.compute_sep() is not None
+    assert m.compute_evm() is not None
+    assert calls["stats"] == 0

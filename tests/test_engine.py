@@ -219,3 +219,20 @@ def test_f32_factor_nan_falls_back_to_f64(monkeypatch):
     L64 = synthesis.column_factors(
         np.sqrt(sim.powerspec), float(sim.freq.main.df), W64)
     assert np.allclose(sim._L_colfac, L64.astype(np.complex64))
+
+
+def test_recompute_powerspec_refreshes_run_program():
+    """Re-running the public compute_powerspec() (e.g. after mutating the
+    atmosphere) rebuilds the device tables and invalidates cached run
+    programs — they must not embed the previous spectra or logamp_var."""
+    sim = fast_tpu.Fast(make_test_params(TEMPORAL=False))
+    fn1 = sim._run_all_fn()
+    v1 = sim._tables_version
+    sqrt_psd1 = sim._sqrt_psd.copy()
+    lv1 = sim.logamp_var
+    sim.cn2 = sim.cn2 * 4.0  # stronger turbulence
+    sim.compute_powerspec()
+    assert sim._tables_version > v1
+    assert sim._run_all_fn() is not fn1
+    assert not np.allclose(sim._sqrt_psd, sqrt_psd1)
+    assert sim.logamp_var != lv1

@@ -412,3 +412,24 @@ def test_interpret_ar_flow_batch_matches_single():
                                    atol=2e-4)
         np.testing.assert_allclose(af_b[s], np.asarray(af1), rtol=2e-4,
                                    atol=2e-4)
+
+
+def test_colfac_tile_select_honors_explicit_cap():
+    """An explicitly passed b_tile is a hard cap in every branch of both
+    tile selectors (a caller shrinking tiles after a VMEM compile
+    failure must not get the cap silently overwritten)."""
+    from fast_tpu.ops import pallas_synth as ps
+
+    for select in (ps.colfac_tile_select, ps.colfac_tile_select_merged):
+        # auto (no cap): small grids pick the big batch tile
+        b_auto, _ = select(4096, 256, 128, "default")
+        assert b_auto == 128
+        # explicit cap honored in the auto branch
+        b_cap, _ = select(4096, 256, 128, "default", 16)
+        assert b_cap <= 16
+        # explicit cap honored with explicit m_tile too
+        b_cap2, m2 = select(4096, 256, 128, "default", 16, 64)
+        assert b_cap2 <= 16 and m2 <= 64
+    # explicit cap honored in the HIGHEST-precision branch (split)
+    b_hp, _ = ps.colfac_tile_select(4096, 256, 128, "highest", 8)
+    assert b_hp <= 8

@@ -290,3 +290,18 @@ def test_scan_sharded_rejects_mixed_synth(mesh8):
     ]
     with pytest.raises(ValueError, match="share SYNTH"):
         parallel.run_scan_sharded(sims, scan_mesh)
+
+
+def test_shard_fn_build_does_not_double_pin_tables(mesh8):
+    """Building the sharded runner for a pallas_colfac sim pins the
+    packed factor stacks ONLY with the mesh-replicated sharding — no
+    dead second default-device copy (they reach ~GB at 1024^2)."""
+    from fast_tpu.parallel import mesh as mesh_mod
+
+    sim = fast_tpu.Fast(make_test_params(TEMPORAL=False, NITER=1600,
+                                         NCHUNKS=2, SYNTH="pallas_colfac"))
+    fn = mesh_mod._build_shard_fn(sim, mesh8, sim.Nchunks,
+                                  1600 // (8 * sim.Nchunks))
+    assert fn is not None
+    assert getattr(sim, "_colfac_packed", None) is not None  # host cache
+    assert getattr(sim, "_colfac_packed_dev", None) is None  # no dev pin
