@@ -103,13 +103,15 @@ def probe_backend(timeout_s=90):
 
 
 def wait_for_backend(attempts=12, wait_s=120):
-    """Probe until the backend answers; False after ~25 min of outage."""
+    """Probe until the backend answers; False after ~40 min of outage
+    (each failed probe costs its 90 s subprocess timeout + ``wait_s``)."""
     for i in range(attempts):
         if probe_backend():
             return True
         print(f"# TPU backend unreachable (probe {i + 1}/{attempts}); "
               f"retrying in {wait_s}s", file=sys.stderr)
-        time.sleep(wait_s)
+        if i < attempts - 1:
+            time.sleep(wait_s)
     return False
 
 

@@ -137,7 +137,14 @@ class Fast:
             with self.profile.stage("link_budget"):
                 self.compute_link_budget()
             with self.profile.stage("powerspec"):
-                self.compute_powerspec()  # ends in _prepare_device_constants
+                self._compute_powerspec_host()
+
+        # OUTSIDE the CPU ctx: the f32 colfac factor build dispatches a
+        # jitted program on the *default device* — under the ctx that
+        # would be a second-backend compile inside a live TPU-relay
+        # process (deadlock risk, see synthesis.column_factors_device)
+        with self.profile.stage("device_constants"):
+            self._prepare_device_constants()
 
     # ------------------------------------------------------------------
     # initialisation pipeline
@@ -446,7 +453,22 @@ class Fast:
         Same term-by-term physics as the reference (``fast/fast.py:445-587``)
         in float64, but as one jitted program per grid shape
         (:mod:`fast_tpu.psd`) instead of ~100 eager dispatches — warm
-        re-initialisation at a known shape costs milliseconds.
+        re-initialisation at a known shape costs milliseconds. Ends by
+        rebuilding the device tables (bumping ``_tables_version``) so
+        cached run programs never embed spectra from a previous call.
+        """
+        self._compute_powerspec_host()
+        with self.profile.stage("device_constants"):
+            self._prepare_device_constants()
+
+    def _compute_powerspec_host(self):
+        """The float64 host/PSD assembly (no device-constant rebuild).
+
+        ``__init__`` calls this inside its ``jax.default_device(cpu)``
+        block and runs :meth:`_prepare_device_constants` after leaving
+        it — the f32 colfac factor build inside the latter must dispatch
+        on the real default device, never the CPU backend of a live
+        TPU-relay process (CLAUDE.md: second-backend compile deadlock).
         """
         logger.info("Computing (residual) phase power spectra")
         freq = self.freq
@@ -512,12 +534,6 @@ class Fast:
         # (NaN/negative PSD, bad masks) fails loudly here instead of
         # flowing silently into the Monte Carlo program
         self.validate()
-
-        # rebuild the device tables and bump _tables_version so cached
-        # run programs never embed spectra (or logamp_var) from a
-        # previous compute_powerspec call
-        with self.profile.stage("device_constants"):
-            self._prepare_device_constants()
 
     # ------------------------------------------------------------------
     # Monte Carlo run
