@@ -175,6 +175,11 @@ def build_sweep(base_params, samples):
             s._sqrt_psd_sh = np.sqrt(s.powerspec_subharm).astype(s.dtype)
             # _sh_modes / _sh_df are grid-only and shared with the base
         s._synth = s.params["SYNTH"]
+        # fresh identity: ``copy.copy`` would leave every clone sharing
+        # the base's ``_uid`` (and hence the same (uid, tables_version)
+        # pair), so the scan runner's device-table cache could not tell
+        # a permuted or regenerated clone list from the one it cached
+        s._uid = next(Fast._uid_counter)
         s._tables_version = getattr(s, "_tables_version", 0) + 1
         s._sqrt_psd = np.sqrt(powerspec_b[i]).astype(s.dtype)
         if s._synth in ("matmul", "pallas", "pallas_fused"):

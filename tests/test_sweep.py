@@ -74,6 +74,31 @@ def test_sweep_with_orbit_geometry():
         s.validate()
 
 
+def test_sweep_clones_have_fresh_identity():
+    """Clones must not share the base's ``_uid`` (or each other's).
+
+    The scan runner's device-table cache keys on per-sim
+    ``(_uid, _tables_version)``; ``copy.copy`` alone would leave every
+    clone of one sweep — and of every *subsequent* sweep off the same
+    base — with an identical pair, so a permuted or regenerated clone
+    list could silently reuse tables cached in the old order.
+    """
+    base = make_test_params(TEMPORAL=False, NPXLS=164, NITER=100, NCHUNKS=2)
+    zeniths = np.array([30.0, 45.0, 60.0])
+    sims = sweep.build_sweep(base, {"ZENITH_ANGLE": zeniths})
+    sims2 = sweep.build_sweep(base, {"ZENITH_ANGLE": zeniths[::-1].copy()})
+    uids = [s._uid for s in sims] + [s._uid for s in sims2]
+    assert len(set(uids)) == len(uids)
+    # keys the scan cache would build for the two sweeps must differ
+    k1 = tuple((s._uid, s._tables_version) for s in sims)
+    k2 = tuple((s._uid, s._tables_version) for s in sims2)
+    assert k1 != k2
+    # and a permutation of one list changes its key too
+    perm = [sims[0], sims[2], sims[1]]
+    kp = tuple((s._uid, s._tables_version) for s in perm)
+    assert kp != k1
+
+
 def test_sweep_rejects_auto_grid():
     base = make_test_params(TEMPORAL=False)  # NPXLS='auto'
     with pytest.raises(ValueError, match="explicit NPXLS"):
