@@ -228,7 +228,7 @@ def main():
             "vs_baseline": None,
             "error": "TPU backend unreachable (axon relay outage): "
                      "backend-init probe subprocesses timed out for "
-                     "~25 min; see CLAUDE.md environment gotchas",
+                     "~40 min; see CLAUDE.md environment gotchas",
         }))
         return
 

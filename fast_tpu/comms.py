@@ -305,6 +305,15 @@ class Modulator:
         self._streams = None
         self._stats = None
         self._noisy = noisy
+        # a re-modulation regenerates every stream: drop any
+        # reference-parity attribute assignments (the reference keeps
+        # plain attributes, which its modulate() overwrites) so stale
+        # overrides can't shadow the fresh kernel's outputs
+        self._symbols_override = None
+        self._recv_override = None
+        self._awgn_override = None
+        self._recv_symbols_override = _UNSET
+        self._demodulated = False
 
     def _stats_vals(self):
         """(sep, evm), via the stats-only program unless already known."""

@@ -137,6 +137,13 @@ def build_sweep(base_params, samples):
     weights_b = out["phs_var_weights"]
 
     # --- stamp out lightweight clones ---
+    sweep_synth = base_params.get("SYNTH", "matmul")
+    W_f64 = None
+    if sweep_synth in ("colfac", "pallas_colfac"):
+        # factor build input: the pruned IFT matrix is grid-only, shared
+        # by every clone; only the per-sample PSD varies
+        W_f64 = synthesis.pruned_ift2_matrix(
+            base.Npxls, *base.pup_crop, dtype=np.complex128)
     sims = []
     for i in range(nsamples):
         s = copy.copy(base)
@@ -187,13 +194,15 @@ def build_sweep(base_params, samples):
                 s.Npxls, *s.pup_crop,
                 dtype=np.complex64 if s.dtype == np.float32
                 else np.complex128)
-        elif s._synth == "colfac":
+        elif s._synth in ("colfac", "pallas_colfac"):
+            # the factor tables depend on the per-sample PSD: a clone
+            # keeping the base's ``_L_colfac`` would run every sample
+            # with the base atmosphere's covariance (the pallas_colfac
+            # branch was missing until round 4's review)
             s._L_colfac = synthesis.column_factors(
                 np.sqrt(powerspec_b[i]), float(freq.main.df),
-                synthesis.pruned_ift2_matrix(
-                    s.Npxls, *s.pup_crop, dtype=np.complex128)).astype(
-                        np.complex64 if s.dtype == np.float32
-                        else np.complex128)
+                W_f64).astype(np.complex64 if s.dtype == np.float32
+                              else np.complex128)
         sims.append(s)
     return sims
 

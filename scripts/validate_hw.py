@@ -251,15 +251,20 @@ def section_temporal(nsteps):
     # relay, so serial ~= batched (the AR step is VPU-bound either way,
     # BASELINE.md round 4) — the gate here is parity (batching must not
     # cost throughput); the >=4x production win is gated below.
-    t0 = time.time()
-    cb = run_batch(a0)
-    _ = float(np.abs(np.asarray(cb)).sum())
-    t_b = time.time() - t0
-    t0 = time.time()
-    for s in range(B):
-        c1 = run_single(a0[s], 200 + s)
-    _ = float(np.abs(np.asarray(c1)).sum())
-    t_s = time.time() - t0
+    # interleaved best-of-3: the pooled chip's throughput varies ~5x
+    # run-to-run (CLAUDE.md) — a single-timing gate would flag healthy
+    # code whenever a contention spike lands on one side
+    t_b, t_s = np.inf, np.inf
+    for rep in range(3):
+        t0 = time.time()
+        cb = run_batch(a0)
+        _ = float(np.abs(np.asarray(cb)).sum())
+        t_b = min(t_b, time.time() - t0)
+        t0 = time.time()
+        for s in range(B):
+            c1 = run_single(a0[s], 200 + 10 * rep + s)
+        _ = float(np.abs(np.asarray(c1)).sum())
+        t_s = min(t_s, time.time() - t0)
     agg_b = B * nsteps / t_b
     agg_s = B * nsteps / t_s
     record("temporal", "batched aggregate steps/s",
@@ -292,13 +297,20 @@ def section_temporal(nsteps):
         return [np.asarray(r.power, np.float64) for r in rs]
 
     scan_run(80)  # compile + device-pin tables
-    t0 = time.time()
-    xb = scan_run(81)
-    t_prod_b = time.time() - t0
     xs1 = scan_run(82, force_serial=True)  # compile the serial program
-    t0 = time.time()
-    xs2 = scan_run(83, force_serial=True)
-    t_prod_s = time.time() - t0
+    # interleaved best-of-2 (pooled-chip variance, CLAUDE.md): one
+    # contention spike must not decide a pass/fail gate
+    t_prod_b, t_prod_s = np.inf, np.inf
+    xb = None
+    for rep in range(2):
+        t0 = time.time()
+        x = scan_run(81 + 10 * rep)
+        if xb is None:
+            xb = x
+        t_prod_b = min(t_prod_b, time.time() - t0)
+        t0 = time.time()
+        xs2 = scan_run(83 + 10 * rep, force_serial=True)
+        t_prod_s = min(t_prod_s, time.time() - t0)
     agg_pb = len(sims) * nsteps / t_prod_b
     agg_ps = len(sims) * nsteps / t_prod_s
     record("temporal", "scan runner warm agg steps/s",
@@ -326,9 +338,13 @@ def section_scan_sharded(n):
     t0 = time.time()
     parallel.run_scan_sharded(sims, mesh, seed=71)
     t_cold = time.time() - t0
-    t0 = time.time()
-    results = parallel.run_scan_sharded(sims, mesh, seed=72)
-    t_warm = time.time() - t0
+    # best-of-3 warm repeats (pooled-chip variance, CLAUDE.md): the gate
+    # asserts warm <= 1.5x cold, which one contention spike could break
+    t_warm = np.inf
+    for rep in range(3):
+        t0 = time.time()
+        results = parallel.run_scan_sharded(sims, mesh, seed=72 + rep)
+        t_warm = min(t_warm, time.time() - t0)
     for sim, r in zip(sims, results):
         solo = power_samples(n, seed=73,
                              ZENITH_ANGLE=sim.params["ZENITH_ANGLE"],

@@ -342,3 +342,28 @@ def test_modulate_path_single_program(monkeypatch):
     assert m.compute_sep() is not None
     assert m.compute_evm() is not None
     assert calls["stats"] == 0
+
+
+def test_remodulate_clears_parity_overrides():
+    """Re-running modulate() regenerates every stream: assigned
+    reference-parity attributes (the reference keeps plain attributes
+    that its modulate() overwrites) must not shadow the fresh kernel's
+    outputs (round-4 review finding)."""
+    power = np.exp(np.random.default_rng(7).normal(0, 0.3, 128))
+    m = comms.Modulator(power, "QPSK", EsN0=12, symbols_per_iter=8, rng=2)
+    m.modulate()
+    m.demodulate()
+    custom = np.zeros_like(np.asarray(m.symbols))
+    m.symbols = custom
+    m.recv_signal = np.ones(3)
+    m.awgn = 5.0
+    m.recv_symbols = None  # the modulation-None parity assignment
+    assert m.symbols is custom
+    assert m.recv_symbols is None
+    m.modulate()
+    assert m.symbols is not custom
+    assert np.shape(m.recv_signal) != (3,)
+    assert m.recv_symbols is None  # pre-demodulation state, not the override
+    m.demodulate()
+    assert m.recv_symbols is not None
+    assert np.shape(m.awgn) == np.shape(m.recv_signal)

@@ -74,6 +74,30 @@ def test_sweep_with_orbit_geometry():
         s.validate()
 
 
+def test_sweep_pallas_colfac_factors_are_per_sample():
+    """An explicit SYNTH='pallas_colfac' sweep must factor each sample's
+    own covariance — ``copy.copy`` alone would leave every clone running
+    the base atmosphere's ``_L_colfac`` (round-4 review finding)."""
+    base = make_test_params(TEMPORAL=False, NPXLS=164, NITER=100, NCHUNKS=2,
+                            SYNTH="pallas_colfac")
+    zeniths = np.array([30.0, 60.0])
+    sims = sweep.build_sweep(base, {"ZENITH_ANGLE": zeniths})
+    assert not np.allclose(np.asarray(sims[0]._L_colfac),
+                           np.asarray(sims[1]._L_colfac))
+    for i, z in enumerate(zeniths):
+        solo = fast_tpu.Fast(make_test_params(
+            TEMPORAL=False, NPXLS=164, NITER=100, NCHUNKS=2,
+            SYNTH="pallas_colfac", ZENITH_ANGLE=z))
+        a = np.asarray(sims[i]._L_colfac)
+        b = np.asarray(solo._L_colfac)
+        # compare the covariances the factors encode (Cholesky itself can
+        # amplify tiny PSD differences on near-singular columns)
+        ca = a @ np.conj(np.swapaxes(a, 1, 2))
+        cb = b @ np.conj(np.swapaxes(b, 1, 2))
+        scale = np.abs(cb).max()
+        np.testing.assert_allclose(ca, cb, atol=1e-6 * scale, rtol=1e-5)
+
+
 def test_sweep_clones_have_fresh_identity():
     """Clones must not share the base's ``_uid`` (or each other's).
 
