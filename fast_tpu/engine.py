@@ -591,18 +591,31 @@ class Fast:
             self._W_pruned = synthesis.pruned_ift2_matrix(
                 self.Npxls, *self.pup_crop, dtype=cdt)
             if synth in ("colfac", "pallas_colfac"):
+                # the factor stack is a pure function of (PSD, W, df):
+                # big rebuilds (~24 s host BLAS at 1024²) are cached on
+                # disk keyed by the input tables' content
+                from .utils import diskcache
                 self._L_colfac = None
+                sqrt_psd64 = np.sqrt(self.powerspec)
+                df_m = float(self.freq.main.df)
                 if dt == np.float32 and jax.default_backend() == "tpu":
                     # f32 factor build on the MXU (~30x the host f64 path);
                     # ill-conditioned columns fall back below. Large
-                    # factor stacks build on host XLA f32 instead — the
+                    # factor stacks build on host BLAS f32 instead — the
                     # accelerator round-trip is relay-transfer-bound
                     # (see column_factors_device)
-                    npup_w = self._W_pruned.shape[0]
-                    big = self.Npxls * npup_w * npup_w * 8 > 128e6
-                    L = synthesis.column_factors_device(
-                        np.sqrt(self.powerspec), float(self.freq.main.df),
-                        self._W_pruned, host=big)
+                    key32 = diskcache.table_key(
+                        "colfac-f32",
+                        (self.powerspec, np.asarray(self._W_pruned)),
+                        (df_m, 3e-6))  # jitter of column_factors_device
+                    L = diskcache.load(key32)
+                    if L is None:
+                        npup_w = self._W_pruned.shape[0]
+                        big = self.Npxls * npup_w * npup_w * 8 > 128e6
+                        L = synthesis.column_factors_device(
+                            sqrt_psd64, df_m, self._W_pruned, host=big)
+                        if np.isfinite(L).all():
+                            diskcache.save(key32, L)
                     if np.isfinite(L).all():
                         self._L_colfac = L
                     else:
@@ -610,11 +623,17 @@ class Fast:
                                     "ill-conditioned column; using the "
                                     "host float64 path")
                 if self._L_colfac is None:
-                    self._L_colfac = synthesis.column_factors(
-                        np.sqrt(self.powerspec), float(self.freq.main.df),
-                        synthesis.pruned_ift2_matrix(
-                            self.Npxls, *self.pup_crop,
-                            dtype=np.complex128)).astype(cdt)
+                    W64 = synthesis.pruned_ift2_matrix(
+                        self.Npxls, *self.pup_crop, dtype=np.complex128)
+                    key64 = diskcache.table_key(
+                        "colfac-f64", (self.powerspec, W64),
+                        (df_m, str(cdt), 1e-10))  # column_factors jitter
+                    L = diskcache.load(key64)
+                    if L is None:
+                        L = synthesis.column_factors(
+                            sqrt_psd64, df_m, W64).astype(cdt)
+                        diskcache.save(key64, L)
+                    self._L_colfac = L
         if self.subharmonics:
             self._sqrt_psd_sh = np.sqrt(self.powerspec_subharm).astype(dt)
             self._sh_modes = synthesis.make_subharm_modes(

@@ -198,11 +198,21 @@ def build_sweep(base_params, samples):
             # the factor tables depend on the per-sample PSD: a clone
             # keeping the base's ``_L_colfac`` would run every sample
             # with the base atmosphere's covariance (the pallas_colfac
-            # branch was missing until round 4's review)
-            s._L_colfac = synthesis.column_factors(
-                np.sqrt(powerspec_b[i]), float(freq.main.df),
-                W_f64).astype(np.complex64 if s.dtype == np.float32
-                              else np.complex128)
+            # branch was missing until round 4's review). Content-cached
+            # on disk like the engine's build (same key namespace) so
+            # repeat sweeps of one geometry skip the refactorisation.
+            from .utils import diskcache
+            cdt = np.complex64 if s.dtype == np.float32 else np.complex128
+            key = diskcache.table_key(
+                "colfac-f64", (powerspec_b[i], W_f64),
+                (float(freq.main.df), str(cdt), 1e-10))
+            L = diskcache.load(key)
+            if L is None:
+                L = synthesis.column_factors(
+                    np.sqrt(powerspec_b[i]), float(freq.main.df),
+                    W_f64).astype(cdt)
+                diskcache.save(key, L)
+            s._L_colfac = L
         sims.append(s)
     return sims
 

@@ -236,3 +236,51 @@ def test_recompute_powerspec_refreshes_run_program():
     assert sim._run_all_fn() is not fn1
     assert not np.allclose(sim._sqrt_psd, sqrt_psd1)
     assert sim.logamp_var != lv1
+
+
+def test_colfac_factor_disk_cache(tmp_path, monkeypatch):
+    """Factor stacks are content-cached on disk: a byte-identical
+    (PSD, W, df) rebuild loads instead of refactoring; different
+    physics gets a different key."""
+    from fast_tpu import synthesis
+    from fast_tpu.utils import diskcache
+
+    monkeypatch.setenv("FAST_TPU_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(diskcache, "MIN_BYTES", 0)
+    calls = {"n": 0}
+    real = synthesis.column_factors
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(synthesis, "column_factors", counting)
+    p = make_test_params(TEMPORAL=False, NPXLS=164, NITER=100, NCHUNKS=2,
+                         SYNTH="colfac")
+    s1 = fast_tpu.Fast(p)
+    assert calls["n"] == 1
+    s2 = fast_tpu.Fast(dict(p))
+    assert calls["n"] == 1  # disk hit: no refactorisation
+    np.testing.assert_array_equal(np.asarray(s1._L_colfac),
+                                  np.asarray(s2._L_colfac))
+    fast_tpu.Fast(make_test_params(TEMPORAL=False, NPXLS=164, NITER=100,
+                                   NCHUNKS=2, SYNTH="colfac",
+                                   ZENITH_ANGLE=30.0))
+    assert calls["n"] == 2  # different PSD -> different key
+
+    # corrupt cache entries are dropped and rebuilt, not trusted
+    import os
+    victim = max((os.path.join(str(tmp_path), f)
+                  for f in os.listdir(str(tmp_path))),
+                 key=os.path.getmtime)
+    with open(victim, "wb") as f:
+        f.write(b"not a npy file")
+    fast_tpu.Fast(make_test_params(TEMPORAL=False, NPXLS=164, NITER=100,
+                                   NCHUNKS=2, SYNTH="colfac",
+                                   ZENITH_ANGLE=30.0))
+    assert calls["n"] == 3
+
+    # kill switch
+    monkeypatch.setenv("FAST_TPU_TABLE_CACHE", "0")
+    fast_tpu.Fast(dict(p))
+    assert calls["n"] == 4
