@@ -284,3 +284,27 @@ def test_colfac_factor_disk_cache(tmp_path, monkeypatch):
     monkeypatch.setenv("FAST_TPU_TABLE_CACHE", "0")
     fast_tpu.Fast(dict(p))
     assert calls["n"] == 4
+
+
+def test_diskcache_lru_eviction(tmp_path, monkeypatch):
+    import os
+    import time
+
+    from fast_tpu.utils import diskcache
+
+    monkeypatch.setenv("FAST_TPU_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(diskcache, "MIN_BYTES", 0)
+    monkeypatch.setattr(diskcache, "MAX_BYTES", 3000)
+    keys = []
+    for i in range(5):
+        k = diskcache.table_key("t", [np.arange(i + 1)])
+        diskcache.save(k, np.zeros(128))  # ~1.1 KB each
+        keys.append(k)
+        time.sleep(0.02)  # distinct mtimes for the LRU order
+    files = [f for f in os.listdir(str(tmp_path)) if f.endswith(".npy")]
+    total = sum(os.path.getsize(os.path.join(str(tmp_path), f))
+                for f in files)
+    assert total <= 3000
+    # the most recent entry survives; the oldest was evicted
+    assert diskcache.load(keys[-1]) is not None
+    assert diskcache.load(keys[0]) is None
