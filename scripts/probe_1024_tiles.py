@@ -96,18 +96,54 @@ def main():
             print(f"# ({bt:3d},{mt:3d}) FAILED: "
                   f"{str(e).splitlines()[0][:120]}", flush=True)
 
+    # split layout at the same grid: its VMEM model admits (16, 16) at
+    # P=512 (factor block is 2*m*P^2 vs the merged 4*m*P^2 twice-buffered)
+    L = np.asarray(sim._L_colfac)
+    W = np.asarray(sim._W_pruned)
+    l2s, w2s = pallas_synth.colfac_pack_tables(L, W, precision,
+                                               noise=mc_noise)
+    tabs_s = (jax.device_put(jnp.asarray(l2s)),
+              jax.device_put(jnp.asarray(w2s)))
+    auto_s = pallas_synth.colfac_tile_select(
+        nb, sim.Npxls, sim.Npxls_pup, precision)
+    print(f"# split auto tiles: {auto_s}", flush=True)
+    for bt, mt in {auto_s, (16, 16), (16, 8), (8, 8)}:
+        if nb % bt or sim.Npxls % mt:
+            continue
+
+        def make_s(bt=bt, mt=mt):
+            @jax.jit
+            def run(seed, l2, w2):
+                return pallas_synth.fused_colfac_detect_packed(
+                    seed, l2, w2, pm, nb, bt, mt,
+                    precision=precision, noise=mc_noise)
+            return run
+
+        fn = make_s()
+        try:
+            t0 = time.time()
+            out = fn(123, *tabs_s)
+            s = float(np.abs(np.asarray(out)).sum())
+            assert np.isfinite(s)
+            print(f"# split ({bt:3d},{mt:3d}) compiled+first-run "
+                  f"{time.time() - t0:.0f}s", flush=True)
+            fns[("split", bt, mt)] = fn
+        except Exception as e:
+            print(f"# split ({bt:3d},{mt:3d}) FAILED: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+
     best = {k: np.inf for k in fns}
     for rep in range(args.reps):
         for k, fn in fns.items():
             t0 = time.time()
-            out = fn(1000 + rep, *tabs)
+            out = fn(1000 + rep, *(tabs_s if k[0] == "split" else tabs))
             float(np.abs(np.asarray(out)).sum())
             best[k] = min(best[k], time.time() - t0)
-    print("\n# tile      r/s       TFLOP/s (interleaved best-of-%d)"
-          % args.reps)
+    print("\n# tile              r/s       TFLOP/s (interleaved "
+          "best-of-%d)" % args.reps)
     for k in sorted(best, key=best.get):
         rps = B / best[k]
-        print(f"{str(k):10s} {rps:9.0f}  {rps * flops / B / 1e12:6.1f}")
+        print(f"{str(k):18s} {rps:9.0f}  {rps * flops / B / 1e12:6.1f}")
 
     # full-engine comparison: the default fused path at the same grid
     print("\n# pallas_fused full run program at the same config",
