@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--nchunks", type=int, default=1)
     ap.add_argument("--synth", default="pallas_colfac")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--d-ground", type=float, default=None,
+                    help="ground pupil diameter override (e.g. 4.0 for "
+                         "the 1024^2 huge-pupil bench config)")
+    ap.add_argument("--dsubap", type=float, default=None)
     ap.add_argument("--temporal", action="store_true",
                     help="trace the fused AR frozen-flow series program "
                          "instead of the iid MC program")
@@ -56,15 +60,21 @@ def main():
 
     from fast_tpu.ops.rng import make_key
 
+    pupil = {}
+    if args.d_ground is not None:
+        pupil["D_GROUND"] = args.d_ground
+    if args.dsubap is not None:
+        pupil["DSUBAP"] = args.dsubap
     if args.temporal:
         sim = fast_tpu.Fast(g._flagship_params(
             npxls=args.npxls, niter=args.niter, nchunks=args.nchunks,
-            RNG="rbg", TEMPORAL=True, TEMPORAL_SYNTH="ar", DT=0.001))
+            RNG="rbg", TEMPORAL=True, TEMPORAL_SYNTH="ar", DT=0.001,
+            **pupil))
         run_all = sim._run_all_fn_temporal_ar()
     else:
         sim = fast_tpu.Fast(g._flagship_params(
             npxls=args.npxls, niter=args.niter, nchunks=args.nchunks,
-            RNG="rbg", SYNTH=args.synth))
+            RNG="rbg", SYNTH=args.synth, **pupil))
         run_all = sim._run_all_fn()  # the production jitted MC program
     key = make_key(0, impl=sim.params["RNG"])
 
