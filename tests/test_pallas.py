@@ -433,3 +433,32 @@ def test_colfac_tile_select_honors_explicit_cap():
     # explicit cap honored in the HIGHEST-precision branch (split)
     b_hp, _ = ps.colfac_tile_select(4096, 256, 128, "highest", 8)
     assert b_hp <= 8
+
+
+def test_colfac_packed_tile_invariance():
+    """Tile choice is blocking, not math: the packed kernel's output
+    agrees across every (b_tile, m_tile) candidate, in both layouts, to
+    f32 reduction-order tolerance (different m_tile = different column-
+    accumulation order). De-risks promoting the huge-pupil candidates
+    (merged (16,4) / split (16,16)) that the VMEM ladder may select at
+    P>=384."""
+    N, npup = 64, 24
+    rng = np.random.default_rng(9)
+    L = (rng.normal(size=(N, npup, npup))
+         + 1j * rng.normal(size=(N, npup, npup))).astype(np.complex64) * 0.01
+    W = synthesis.pruned_ift2_matrix(N, 20, 44, dtype=np.complex64)
+    pm = rng.random((npup, npup)).astype(np.float32)
+    nbatch = 32
+    for pack in (pallas_synth.colfac_pack_tables,
+                 pallas_synth.colfac_pack_tables_merged):
+        tabs = pack(L, W, "highest", noise="gauss")
+        ref = None
+        for bt, mt in ((8, 8), (16, 4), (16, 8), (16, 16), (32, 64)):
+            c = np.asarray(pallas_synth.fused_colfac_detect_packed(
+                7, *tabs, pm, nbatch, bt, mt, interpret=True,
+                precision="highest", noise="gauss"))
+            assert np.isfinite(c).all()
+            if ref is None:
+                ref = c
+            else:
+                np.testing.assert_allclose(c, ref, rtol=5e-4, atol=5e-4)
