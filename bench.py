@@ -217,20 +217,49 @@ def measure_comms():
     return out
 
 
+def _outage_json(detail):
+    print(json.dumps({
+        "metric": "mc_realizations_per_sec_256sq_chip",
+        "value": None,
+        "unit": "realizations/s",
+        "vs_baseline": None,
+        "error": f"TPU backend unreachable (axon relay outage): {detail}; "
+                 "see CLAUDE.md environment gotchas",
+    }))
+
+
+def _arm_watchdog(seconds=75 * 60):
+    """Emit the outage record and exit if the whole bench overruns.
+
+    A relay outage *mid-bench* blocks the next device fetch forever (no
+    error — CLAUDE.md), which would hang the driver; a warm bench takes
+    ~25 min and a cold one ~45, so 75 min means the tunnel died.
+    SIGALRM only fires in the main thread, which is where every fetch
+    in this script happens.
+    """
+    import signal
+
+    def _on_alarm(signum, frame):
+        _outage_json(f"bench exceeded {seconds // 60} min — the relay "
+                     "likely dropped mid-run (device fetches block "
+                     "forever during an outage)")
+        os._exit(3)
+
+    try:
+        signal.signal(signal.SIGALRM, _on_alarm)
+        signal.alarm(seconds)
+    except (ValueError, AttributeError):  # non-main thread / platform
+        pass
+
+
 def main():
     if not wait_for_backend():
         # Emit a parseable record rather than hanging the driver: the
         # relay outage is an environment failure, not a perf result.
-        print(json.dumps({
-            "metric": "mc_realizations_per_sec_256sq_chip",
-            "value": None,
-            "unit": "realizations/s",
-            "vs_baseline": None,
-            "error": "TPU backend unreachable (axon relay outage): "
-                     "backend-init probe subprocesses timed out for "
-                     "~40 min; see CLAUDE.md environment gotchas",
-        }))
+        _outage_json("backend-init probe subprocesses timed out for "
+                     "~40 min")
         return
+    _arm_watchdog()
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
