@@ -217,14 +217,23 @@ def measure_comms():
     return out
 
 
+# entries completed so far, so a mid-run outage still records what was
+# measured before the relay dropped (the 256^2 headline lands first)
+_PARTIAL = {}
+
+
 def _outage_json(detail):
+    best = _PARTIAL.get("best256")
     print(json.dumps({
         "metric": "mc_realizations_per_sec_256sq_chip",
-        "value": None,
+        "value": round(best, 1) if best else None,
         "unit": "realizations/s",
-        "vs_baseline": None,
+        "vs_baseline": round(best / REF_CPU_RPS, 1) if best else None,
+        "secondary": _PARTIAL.get("secondary", {}),
         "error": f"TPU backend unreachable (axon relay outage): {detail}; "
-                 "see CLAUDE.md environment gotchas",
+                 "see CLAUDE.md environment gotchas"
+                 + ("; value/secondary carry the entries measured before "
+                    "the drop" if _PARTIAL else ""),
     }))
 
 
@@ -287,6 +296,9 @@ def main():
     sim = fast_tpu.Fast(g._flagship_params(
         npxls=256, niter=NITER, nchunks=1, RNG="rbg", SYNTH=synth))
     r256 = measure_rps(sim, NITER)
+    _PARTIAL["best256"] = r256["best"]
+    _PARTIAL.setdefault("secondary", {})["per_dispatch_rps_256sq"] = \
+        round(r256["best"], 1)
 
     # Sustained: the same workload with the chunk loop ON DEVICE
     # (lax.scan over 16 chunks of the same per-chunk shape) — one
@@ -300,23 +312,32 @@ def main():
     sim_sus = fast_tpu.Fast(g._flagship_params(
         npxls=256, niter=16 * NITER, nchunks=16, RNG="rbg", SYNTH=synth))
     r_sus = measure_rps(sim_sus, 16 * NITER, rep_sets=8, reps=1)
+    _PARTIAL["best256"] = max(_PARTIAL["best256"], r_sus["best"])
+    _PARTIAL["secondary"]["sustained_rps_256sq_16chunk"] = \
+        round(r_sus["best"], 1)
 
     print("# 256^2 default config (SYNTH='auto', 16-chunk sustained)",
           file=sys.stderr)
     sim_def = fast_tpu.Fast(g._flagship_params(
         npxls=256, niter=16 * NITER, nchunks=16))
     r_def = measure_rps(sim_def, 16 * NITER, rep_sets=3, reps=1)
+    _PARTIAL["secondary"]["default_config_rps_256sq"] = \
+        round(r_def["best"], 1)
 
     print("# 512^2 iid (8-chunk sustained)", file=sys.stderr)
     sim512 = fast_tpu.Fast(g._flagship_params(
         npxls=512, niter=65536, nchunks=8, RNG="rbg", SYNTH=synth))
     r512 = measure_rps(sim512, 65536, rep_sets=4, reps=1)
+    _PARTIAL["secondary"]["mc_realizations_per_sec_512sq_chip"] = \
+        round(r512["best"], 1)
 
     print("# 512^2 default config (SYNTH='auto', 8-chunk sustained)",
           file=sys.stderr)
     sim_def512 = fast_tpu.Fast(g._flagship_params(
         npxls=512, niter=65536, nchunks=8))
     r_def512 = measure_rps(sim_def512, 65536, rep_sets=3, reps=1)
+    _PARTIAL["secondary"]["default_config_rps_512sq"] = \
+        round(r_def512["best"], 1)
 
     print("# 1024^2 iid, 4 m pupil (huge-pupil colfac tile fallback)",
           file=sys.stderr)
@@ -326,12 +347,16 @@ def main():
         npxls=1024, niter=8192, nchunks=4, RNG="rbg", SYNTH=synth,
         D_GROUND=4.0, DSUBAP=0.5))
     r1k = measure_rps(sim1k, 8192, rep_sets=3, reps=1)
+    _PARTIAL["secondary"]["mc_realizations_per_sec_1024sq_chip"] = \
+        round(r1k["best"], 1)
 
     print("# 256^2 temporal AR frozen flow", file=sys.stderr)
     sim_t = fast_tpu.Fast(g._flagship_params(
         npxls=256, niter=16384, nchunks=64, RNG="rbg", TEMPORAL=True,
         TEMPORAL_SYNTH="ar", DT=0.001))
     r_t = measure_rps(sim_t, 16384, rep_sets=5, reps=1, temporal=True)
+    _PARTIAL["secondary"]["temporal_ar_steps_per_sec_256sq"] = \
+        round(r_t["best"], 1)
 
     # sustained: one dispatch per 131k-step series — long fading series
     # are the production shape, and the committed AR trace shows the
@@ -343,6 +368,8 @@ def main():
         npxls=256, niter=131072, nchunks=512, RNG="rbg", TEMPORAL=True,
         TEMPORAL_SYNTH="ar", DT=0.001))
     r_ts = measure_rps(sim_ts, 131072, rep_sets=4, reps=1, temporal=True)
+    _PARTIAL["secondary"]["temporal_ar_steps_per_sec_256sq_sustained"] = \
+        round(r_ts["best"], 1)
 
     comms = measure_comms()
 
