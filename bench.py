@@ -342,13 +342,25 @@ def main():
     print("# 1024^2 iid, 4 m pupil (huge-pupil colfac tile fallback)",
           file=sys.stderr)
     # 400-px pupil -> P=512 >= 384: no candidate tile fits the VMEM
-    # budget, exercising colfac_tile_select's smallest-tile fallback
+    # budget; the layout auto-rule picks the split kernel at (8, 8)
+    # (measured +21% over merged at this size, scripts/probe_1024_tiles.py)
     sim1k = fast_tpu.Fast(g._flagship_params(
         npxls=1024, niter=8192, nchunks=4, RNG="rbg", SYNTH=synth,
         D_GROUND=4.0, DSUBAP=0.5))
     r1k = measure_rps(sim1k, 8192, rep_sets=3, reps=1)
     _PARTIAL["secondary"]["mc_realizations_per_sec_1024sq_chip"] = \
         round(r1k["best"], 1)
+
+    print("# 1024^2 default config (SYNTH='auto' -> fused, 4 m pupil)",
+          file=sys.stderr)
+    # what a user gets at this grid: the fused kernel needs no factor
+    # stack (no 24 s init) and measured 4.2x the colfac fallback
+    sim_def1k = fast_tpu.Fast(g._flagship_params(
+        npxls=1024, niter=8192, nchunks=4, RNG="rbg",
+        D_GROUND=4.0, DSUBAP=0.5))
+    r_def1k = measure_rps(sim_def1k, 8192, rep_sets=3, reps=1)
+    _PARTIAL["secondary"]["default_config_rps_1024sq"] = \
+        round(r_def1k["best"], 1)
 
     print("# 256^2 temporal AR frozen flow", file=sys.stderr)
     sim_t = fast_tpu.Fast(g._flagship_params(
@@ -394,6 +406,8 @@ def main():
     tflops_def_alg, tflops_def = tfl(r_def["best"], sim_def._synth, sim_def)
     tflops_def512_alg, tflops_def512 = tfl(
         r_def512["best"], sim_def512._synth, sim_def512)
+    tflops_def1k_alg, tflops_def1k = tfl(
+        r_def1k["best"], sim_def1k._synth, sim_def1k)
 
     perf = {
         "device_kind": dev.device_kind,
@@ -411,6 +425,8 @@ def main():
         "tflops_default_total": tflops_def,
         "tflops_default512_alg": tflops_def512_alg,
         "tflops_default512_total": tflops_def512,
+        "tflops_default1024_alg": tflops_def1k_alg,
+        "tflops_default1024_total": tflops_def1k,
         "tflops_ar_step": tflops_ar,
         "tflops_ar_step_sustained": tflops_ar_sus,
         "mfu_256": mfu(tflops_256),
@@ -421,6 +437,8 @@ def main():
         "mfu_default_total": mfu(tflops_def),
         "mfu_default512_alg": mfu(tflops_def512_alg),
         "mfu_default512_total": mfu(tflops_def512),
+        "mfu_default1024_alg": mfu(tflops_def1k_alg),
+        "mfu_default1024_total": mfu(tflops_def1k),
         "mfu_ar": mfu(tflops_ar),
         "mfu_ar_sustained": mfu(tflops_ar_sus),
         "sets_256": r256["sets"],
@@ -450,6 +468,7 @@ def main():
                 round(r_ts["best"], 1),
             "default_config_rps_256sq": round(r_def["best"], 1),
             "default_config_rps_512sq": round(r_def512["best"], 1),
+            "default_config_rps_1024sq": round(r_def1k["best"], 1),
             **comms,
         },
         "perf": perf,

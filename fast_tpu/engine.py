@@ -692,9 +692,9 @@ class Fast:
             # packed stack approaches a GB and the constant-laden MLIR
             # chokes the remote compile service
             from .ops import pallas_synth
-            layout = pallas_synth.colfac_layout()
             Lnp = np.asarray(L)
             ncols, npup_, _ = Lnp.shape
+            layout = pallas_synth.colfac_layout(None, npup_, precision)
             key_pk = (precision, mc_noise, layout,
                       getattr(self, "_tables_version", 0))
             cache = getattr(self, "_colfac_packed", None)
@@ -819,7 +819,8 @@ class Fast:
 
     def _run_all_fn(self):
         from .ops import pallas_synth
-        layout = (pallas_synth.colfac_layout()
+        layout = (pallas_synth.colfac_layout(
+                      None, self.Npxls_pup, self.params["PRECISION"])
                   if self._synth == "pallas_colfac" else None)
         return self._cached_run_fn("iid", self._build_run_all_fn,
                                    (self._synth, layout))

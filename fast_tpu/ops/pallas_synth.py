@@ -1382,7 +1382,29 @@ def colfac_tile_select(nbatch, ncols, npup, precision, b_tile=None,
     """
     P = _round_up(npup, _LANE)
     itemsize = 4 if precision != "default" else 2
-    if m_tile is None and precision == "default":
+    if m_tile is None and P >= 256:
+        # Huge pupils: measured rungs (scripts/probe_1024_tiles.py).
+        # Past P=128 the VMEM model stops predicting Mosaic's stack
+        # high-water mark in either direction — (64, 64) fits the model
+        # at P=256 yet fails to compile on chip, while (8, 64) busts a
+        # double-buffered model at P=384 yet compiles — so only tiles
+        # measured to compile AND win their size class are promoted.
+        # Interleaved best-of-3 on v5e (default precision, bf16 tables):
+        # P=256 (32,64) 102.3k r/s > (16,64) 85.3k > (16,16) 60.7k;
+        # P=384 (16,16) 33.6k > (8,64) 30.3k (every m=64 rung with b>8
+        # fails to compile there); P>=512 only (8,8) compiles. HIGHEST
+        # precision (f32 tables, double the VMEM) is unmeasured at these
+        # sizes — it gets the smallest tiles.
+        cap = 128 if b_tile is None else b_tile
+        if precision != "default":
+            b_tile, m_tile = min(8, cap), 8
+        elif P == 256:
+            b_tile, m_tile = min(32, cap), 64
+        elif P == 384:
+            b_tile, m_tile = min(16, cap), 16
+        else:
+            b_tile, m_tile = min(8, cap), 8
+    elif m_tile is None and precision == "default":
         # joint (b_tile, m_tile) auto-selection under a VMEM budget:
         # prefer the big batch tile (amortises the column loop's micro-
         # dot latency, measured +12% at 256^2) and the whole factor
@@ -1400,7 +1422,7 @@ def colfac_tile_select(nbatch, ncols, npup, precision, b_tile=None,
             if vmem(b_c, m_c) <= 55e6:
                 b_tile, m_tile = b_c, m_c
                 break
-        else:  # huge pupils: smallest tiles, let the compiler arbitrate
+        else:  # nothing fits (unreachable at P=128): smallest tiles
             b_tile, m_tile = min(8, cap), 8
     elif m_tile is None:
         # HIGHEST-precision (multi-pass) dots need extra VMEM headroom —
@@ -1490,7 +1512,24 @@ def colfac_tile_select_merged(nbatch, ncols, npup, precision, b_tile=None,
     """
     P = _round_up(npup, _LANE)
     itemsize = 4 if precision != "default" else 2
-    if m_tile is None:
+    if m_tile is None and P >= 256:
+        # huge pupils: measured rungs, same evidence base as
+        # :func:`colfac_tile_select` (scripts/probe_1024_tiles.py) —
+        # P=256 merged (32,8) 75.1k r/s (vs (8,8) 36.3k); P=384 (16,8)
+        # 30.1k ((32,8) fails to compile there); P>=512 only (8,8)
+        # compiles. Note the layout auto-rule prefers 'split' at all of
+        # these sizes (it wins every class); the merged rungs serve
+        # explicit FAST_TPU_COLFAC_LAYOUT=merged requests.
+        cap = 128 if b_tile is None else b_tile
+        if precision != "default":
+            b_tile, m_tile = min(8, cap), 8
+        elif P == 256:
+            b_tile, m_tile = min(32, cap), 8
+        elif P == 384:
+            b_tile, m_tile = min(16, cap), 8
+        else:
+            b_tile, m_tile = min(8, cap), 8
+    elif m_tile is None:
         cap = 128 if b_tile is None else b_tile
 
         def vmem(b, m):
@@ -1504,23 +1543,37 @@ def colfac_tile_select_merged(nbatch, ncols, npup, precision, b_tile=None,
             if vmem(b_c, m_c) <= 55e6:
                 b_tile, m_tile = b_c, m_c
                 break
-        else:  # huge pupils: smallest tiles, let the compiler arbitrate
+        else:  # nothing fits (unreachable at P=128): smallest tiles
             b_tile, m_tile = min(8, cap), 8
     elif b_tile is None:
         b_tile = 128
     return _auto_tile(nbatch, b_tile), _auto_tile(ncols, m_tile)
 
 
-def colfac_layout(layout=None):
-    """Resolve the colfac kernel layout: 'merged' (default) or 'split'.
+def colfac_layout(layout=None, npup=None, precision="default"):
+    """Resolve the colfac kernel layout: 'merged', 'split' or 'auto'.
 
-    Override per-call or process-wide via ``FAST_TPU_COLFAC_LAYOUT``.
+    'auto' (the default) picks 'merged' — one (b, 2P)x(2P, 2P) MXU dot
+    per column pair, measured ~2.5% faster at the production 256²/512²
+    configs (P=128) — except at huge pupils (P>=256), where 'split'
+    streams half the table bytes per column and wins every measured
+    size class (`scripts/probe_1024_tiles.py`, interleaved best-of-3 on
+    v5e): P=256 split (32,64) 102.3k r/s vs merged (32,8) 75.1k;
+    P=384 split (16,16) 33.6k vs merged (16,8) 30.1k; P=512 split (8,8)
+    6.36k vs merged (8,8) 5.23k. The matching measured tile rungs live
+    in the tile-select ladders. The geometry rule needs ``npup``;
+    without it 'auto' resolves to 'merged'. Override per-call or
+    process-wide via ``FAST_TPU_COLFAC_LAYOUT``.
     """
     import os
     if layout is None:
-        layout = os.environ.get("FAST_TPU_COLFAC_LAYOUT", "merged")
-    if layout not in ("merged", "split"):
+        layout = os.environ.get("FAST_TPU_COLFAC_LAYOUT", "auto")
+    if layout not in ("merged", "split", "auto"):
         raise ValueError(f"unknown colfac layout {layout!r}")
+    if layout == "auto":
+        layout = "merged"
+        if npup is not None and _round_up(npup, _LANE) >= 256:
+            layout = "split"
     return layout
 
 
@@ -1806,7 +1859,7 @@ def fused_colfac_detect(seed, L, W, pupil_mode, nbatch, b_tile=None,
     the on-chip detector.
     """
     ncols, npup, _ = L.shape
-    layout = colfac_layout(layout)
+    layout = colfac_layout(layout, npup, precision)
     if layout == "merged":
         b_tile, m_tile = colfac_tile_select_merged(
             nbatch, ncols, npup, precision, b_tile, m_tile)

@@ -117,7 +117,8 @@ def run_sharded(sim, mesh=None, seed=None):
     # cache the built (jitted) shard program on the sim: rebuilding it
     # per call re-traces and re-embeds the closure tables every run
     from ..ops import pallas_synth
-    layout = (pallas_synth.colfac_layout()
+    layout = (pallas_synth.colfac_layout(
+                  None, sim.Npxls_pup, sim.params["PRECISION"])
               if sim._synth == "pallas_colfac" else None)
     fn_key = (mesh, nchunks, b_local, axis_name, layout,
               getattr(sim, "_tables_version", 0))

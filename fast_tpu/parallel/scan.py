@@ -122,7 +122,8 @@ def run_scan_sharded(sims, mesh, seed=None):
     # tables regenerate) so replaced or mutated sims never reuse stale
     # tables, and on the colfac kernel layout (env-switchable).
     from ..ops import pallas_synth as _ps
-    layout = _ps.colfac_layout() if synth == "pallas_colfac" else None
+    layout = (_ps.colfac_layout(None, s0.Npxls_pup, precision)
+              if synth == "pallas_colfac" else None)
     cache_key = (mesh, synth, subharm, precision, mc_noise, b_local,
                  layout,
                  tuple((getattr(s, "_uid", id(s)),
@@ -186,7 +187,8 @@ def _build_scan_tables(sims, synth, subharm, precision, mc_noise, b_local,
         # Packed tables cache on the sim — repeat scans skip the
         # pad/fold host work
         from ..ops import pallas_synth
-        layout = pallas_synth.colfac_layout()
+        layout = pallas_synth.colfac_layout(
+            None, s0.Npxls_pup, precision)
         pack = (pallas_synth.colfac_pack_tables_merged
                 if layout == "merged" else pallas_synth.colfac_pack_tables)
         packed = []

@@ -11,11 +11,16 @@ split ``(16, 16)`` fit at P=512 with twice the MXU row occupancy of
 
 This probe times the candidates on the real chip (interleaved
 best-of-N), catching Mosaic VMEM compile failures per candidate, and
-times the engine's full 1024² run program under SYNTH='pallas_fused'
-for comparison. Results go to BASELINE.md; a winning candidate gets
-promoted into the tile-select ladder (guarded by these measurements).
+times the engine's full run program under SYNTH='pallas_fused' for
+comparison. Its measurements (P=256/384/512, see BASELINE.md round 4)
+are the evidence base for the promoted huge-pupil rungs in
+``colfac_tile_select``/``colfac_tile_select_merged`` and for the
+P>=256 'split' preference in ``colfac_layout`` — re-run it before
+changing any of those.
 
 Usage: python scripts/probe_1024_tiles.py [--niter 4096] [--reps 3]
+       [--npxls 1024] [--d-ground 4.0] [--dsubap 0.5]
+(--npxls 512 --d-ground 2.0 probes P=256; --d-ground 3.0 probes P=384)
 """
 
 import argparse
@@ -33,6 +38,11 @@ def main():
     ap.add_argument("--niter", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--npxls", type=int, default=1024)
+    ap.add_argument("--d-ground", type=float, default=4.0,
+                    help="pupil diameter (m); 2.0 at --npxls 512 probes "
+                         "the P=256 midzone where merged falls to (8,8) "
+                         "but split still fits (64,64)")
+    ap.add_argument("--dsubap", type=float, default=0.5)
     args = ap.parse_args()
 
     import jax
@@ -48,13 +58,14 @@ def main():
     t0 = time.time()
     sim = fast_tpu.Fast(g._flagship_params(
         npxls=args.npxls, niter=args.niter, nchunks=1, RNG="rbg",
-        SYNTH="pallas_colfac", D_GROUND=4.0, DSUBAP=0.5))
+        SYNTH="pallas_colfac", D_GROUND=args.d_ground,
+        DSUBAP=args.dsubap))
     print(f"# init {time.time() - t0:.0f}s  npup={sim.Npxls_pup} "
           f"ncols={sim.Npxls}", flush=True)
 
-    # pack the merged-layout tables exactly as production does
-    sim._chunk_body()  # populates _colfac_packed (+ device pin)
-    tabs = sim._colfac_packed_dev[1]
+    # pack the merged-layout tables explicitly (production's layout
+    # auto-rule picks split at these pupil sizes — the point of this
+    # probe is the measured A/B behind that rule)
     pm = np.asarray(sim._pm)
     precision = sim.params["PRECISION"]
     mc_noise = sim.params.get("MC_NOISE", "gauss")
@@ -62,12 +73,20 @@ def main():
     nb = B // 2  # the kernel draws conjugate pairs
     flops = 8 * pallas_synth._round_up(sim.Npxls_pup, 128) ** 2 \
         * sim.Npxls * B
+    l2m, w2m = pallas_synth.colfac_pack_tables_merged(
+        np.asarray(sim._L_colfac), np.asarray(sim._W_pruned), precision,
+        noise=mc_noise)
+    tabs = (jax.device_put(jnp.asarray(l2m)),
+            jax.device_put(jnp.asarray(w2m)))
 
     auto = pallas_synth.colfac_tile_select_merged(
         nb, sim.Npxls, sim.Npxls_pup, precision)
-    print(f"# production auto tiles: {auto}", flush=True)
+    print(f"# merged auto tiles: {auto}  (production layout auto-rule: "
+          f"{pallas_synth.colfac_layout(None, sim.Npxls_pup, precision)})",
+          flush=True)
 
-    candidates = [auto, (16, 4), (8, 4), (16, 8), (32, 4), (16, 2)]
+    candidates = [auto, (16, 4), (8, 4), (16, 8), (32, 8), (32, 4),
+                  (16, 2)]
     seen = set()
     fns = {}
     for bt, mt in candidates:
@@ -107,7 +126,10 @@ def main():
     auto_s = pallas_synth.colfac_tile_select(
         nb, sim.Npxls, sim.Npxls_pup, precision)
     print(f"# split auto tiles: {auto_s}", flush=True)
-    for bt, mt in {auto_s, (16, 16), (16, 8), (8, 8)}:
+    for bt, mt in [auto_s, (32, 64), (16, 64), (32, 16), (16, 16),
+                   (16, 8), (8, 16), (8, 8)]:
+        if ("split", bt, mt) in fns:
+            continue
         if nb % bt or sim.Npxls % mt:
             continue
 
@@ -152,7 +174,8 @@ def main():
         t0 = time.time()
         simf = fast_tpu.Fast(g._flagship_params(
             npxls=args.npxls, niter=args.niter, nchunks=1, RNG="rbg",
-            SYNTH="pallas_fused", D_GROUND=4.0, DSUBAP=0.5))
+            SYNTH="pallas_fused", D_GROUND=args.d_ground,
+            DSUBAP=args.dsubap))
         print(f"# init {time.time() - t0:.0f}s", flush=True)
         from fast_tpu.ops.rng import make_key
         run_all = simf._run_all_fn()

@@ -462,3 +462,46 @@ def test_colfac_packed_tile_invariance():
                 ref = c
             else:
                 np.testing.assert_allclose(c, ref, rtol=5e-4, atol=5e-4)
+
+
+def test_colfac_layout_auto_geometry():
+    """'auto' layout resolution: merged wherever the merged ladder has a
+    real (>=64-column) rung, split exactly where it would fall to the
+    smallest-tile (8, 8) rung — there split's half-size factor block
+    still fits bigger tiles (or at worst streams half the bytes:
+    measured +21% at 1024^2/P=512, scripts/probe_1024_tiles.py)."""
+    import os
+    from fast_tpu.ops import pallas_synth as ps
+
+    assert ps.colfac_layout() == "merged"        # no geometry: legacy
+    assert ps.colfac_layout(None, 100, "default") == "merged"
+    assert ps.colfac_layout(None, 402, "default") == "split"
+    # an explicit layout always wins over the geometry rule
+    assert ps.colfac_layout("merged", 402, "default") == "merged"
+    assert ps.colfac_layout("split", 100, "default") == "split"
+    # env override wins too
+    os.environ["FAST_TPU_COLFAC_LAYOUT"] = "merged"
+    try:
+        assert ps.colfac_layout(None, 402, "default") == "merged"
+    finally:
+        os.environ.pop("FAST_TPU_COLFAC_LAYOUT")
+    # the rule flips exactly at P=256, where the ladders switch to the
+    # measured huge-pupil rungs
+    for npup in (64, 128, 160, 201, 256, 384, 402, 512):
+        P = ps._round_up(npup, ps._LANE)
+        want = "split" if P >= 256 else "merged"
+        for precision in ("default", "highest"):
+            assert ps.colfac_layout(None, npup, precision) == want, (
+                npup, precision)
+    # the huge-pupil rungs are the measured winners per size class
+    assert ps.colfac_tile_select(4096, 512, 202, "default") == (32, 64)
+    assert ps.colfac_tile_select(4096, 512, 302, "default") == (16, 16)
+    assert ps.colfac_tile_select(4096, 1024, 402, "default") == (8, 8)
+    assert ps.colfac_tile_select_merged(4096, 512, 202, "default") == (32, 8)
+    assert ps.colfac_tile_select_merged(4096, 512, 302, "default") == (16, 8)
+    assert ps.colfac_tile_select_merged(4096, 1024, 402, "default") == (8, 8)
+    # explicit b_tile caps are honored on the huge-pupil rungs too, and
+    # HIGHEST precision (unmeasured there) stays on the smallest tiles
+    assert ps.colfac_tile_select(4096, 512, 202, "default", 8) == (8, 64)
+    assert ps.colfac_tile_select(4096, 512, 202, "highest") == (8, 8)
+    assert ps.colfac_tile_select_merged(4096, 512, 202, "highest") == (8, 8)
