@@ -553,17 +553,30 @@ class Fast:
         self._norm = float((self.pupil * self.pupil_mode).sum() * self.dx ** 2)
         synth = self.params["SYNTH"]
         if synth == "auto":
-            # f64 verification runs keep the direct FFT path. On TPU the
-            # fully-fused Pallas kernel (on-chip PRNG -> color -> pruned
-            # DFT -> detector; screens never touch HBM) is the fastest
-            # path at both 256^2 and 512^2. Elsewhere (CPU tests) use the
-            # column-factored covariance synthesis — distribution-
-            # identical to the FFT path — unless its (N, Npup, Npup)
-            # factor tensor would exceed ~256 MB (then factor-free matmul).
+            # f64 verification runs keep the direct FFT path. On TPU both
+            # fused Pallas kernels are distribution-identical; the pick is
+            # measured (interleaved best-of-5 on v5e, BASELINE.md round 4):
+            # at 256^2 they are equal (fused 927.6k vs colfac 922.9k r/s)
+            # and fused needs no factor build; at N>=512 with a P=128
+            # pupil the colfac basis wins big (512^2: 537k vs 295k;
+            # 1024^2: 147k vs 51k — the fused path colors all N^2 grid
+            # points + pays the 4N^3 mixing dot, colfac only 8P^2N), and
+            # at huge pupils (P>=256) fused wins every measured class
+            # (scripts/probe_1024_tiles.py; 1024^2/P=512: 22.2k vs 6.4k).
+            # colfac's cost is a one-time factor build at init
+            # (disk-cached, keyed on the PSD/DFT table content).
+            # Elsewhere (CPU tests) use the column-factored covariance
+            # synthesis unless its (N, Npup, Npup) factor tensor would
+            # exceed ~256 MB (then factor-free matmul).
             if dt != np.float32:
                 synth = "fft"
             elif not self.temporal and jax.default_backend() == "tpu":
-                synth = "pallas_fused"
+                from .ops.pallas_synth import _LANE, _round_up
+                if (self.Npxls >= 512
+                        and _round_up(self.Npxls_pup, _LANE) <= 128):
+                    synth = "pallas_colfac"
+                else:
+                    synth = "pallas_fused"
             elif (not self.temporal
                   and self.Npxls * self.Npxls_pup ** 2 * 8 > 2.56e8):
                 synth = "matmul"
