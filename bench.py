@@ -324,18 +324,21 @@ def main():
     _PARTIAL["secondary"]["default_config_rps_256sq"] = \
         round(r_def["best"], 1)
 
-    print("# 512^2 iid (8-chunk sustained)", file=sys.stderr)
+    print("# 512^2 iid (32-chunk sustained)", file=sys.stderr)
+    # 262k realizations per dispatch (~0.3 s device) — the same dispatch
+    # duration as the 256^2 sustained entry, so the ~12 ms relay latency
+    # amortizes equally across grid sizes
     sim512 = fast_tpu.Fast(g._flagship_params(
-        npxls=512, niter=65536, nchunks=8, RNG="rbg", SYNTH=synth))
-    r512 = measure_rps(sim512, 65536, rep_sets=4, reps=1)
+        npxls=512, niter=262144, nchunks=32, RNG="rbg", SYNTH=synth))
+    r512 = measure_rps(sim512, 262144, rep_sets=4, reps=1)
     _PARTIAL["secondary"]["mc_realizations_per_sec_512sq_chip"] = \
         round(r512["best"], 1)
 
-    print("# 512^2 default config (SYNTH='auto', 8-chunk sustained)",
+    print("# 512^2 default config (SYNTH='auto', 32-chunk sustained)",
           file=sys.stderr)
     sim_def512 = fast_tpu.Fast(g._flagship_params(
-        npxls=512, niter=65536, nchunks=8))
-    r_def512 = measure_rps(sim_def512, 65536, rep_sets=3, reps=1)
+        npxls=512, niter=262144, nchunks=32))
+    r_def512 = measure_rps(sim_def512, 262144, rep_sets=3, reps=1)
     _PARTIAL["secondary"]["default_config_rps_512sq"] = \
         round(r_def512["best"], 1)
 
