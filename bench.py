@@ -307,20 +307,23 @@ def main():
     # 13.4 ms per 16k chunk while a single-chunk dispatch costs ~25 ms
     # wall through the axon relay; chunking on device amortises the
     # ~12 ms relay latency and is how production runs execute.
-    print("# 256^2 iid sustained (16-chunk on-device loop)",
+    print("# 256^2 iid sustained (64-chunk on-device loop)",
           file=sys.stderr)
+    # 64 chunks = 1M realizations (~0.86 s device) per dispatch: relay
+    # latency falls to ~1.5% and the run-to-run median stabilises
+    # (measured 927k median vs 835k at 16 chunks in the same window)
     sim_sus = fast_tpu.Fast(g._flagship_params(
-        npxls=256, niter=16 * NITER, nchunks=16, RNG="rbg", SYNTH=synth))
-    r_sus = measure_rps(sim_sus, 16 * NITER, rep_sets=8, reps=1)
+        npxls=256, niter=64 * NITER, nchunks=64, RNG="rbg", SYNTH=synth))
+    r_sus = measure_rps(sim_sus, 64 * NITER, rep_sets=6, reps=1)
     _PARTIAL["best256"] = max(_PARTIAL["best256"], r_sus["best"])
-    _PARTIAL["secondary"]["sustained_rps_256sq_16chunk"] = \
+    _PARTIAL["secondary"]["sustained_rps_256sq_64chunk"] = \
         round(r_sus["best"], 1)
 
-    print("# 256^2 default config (SYNTH='auto', 16-chunk sustained)",
+    print("# 256^2 default config (SYNTH='auto', 64-chunk sustained)",
           file=sys.stderr)
     sim_def = fast_tpu.Fast(g._flagship_params(
-        npxls=256, niter=16 * NITER, nchunks=16))
-    r_def = measure_rps(sim_def, 16 * NITER, rep_sets=3, reps=1)
+        npxls=256, niter=64 * NITER, nchunks=64))
+    r_def = measure_rps(sim_def, 64 * NITER, rep_sets=3, reps=1)
     _PARTIAL["secondary"]["default_config_rps_256sq"] = \
         round(r_def["best"], 1)
 
@@ -462,7 +465,7 @@ def main():
         "unit": "realizations/s",
         "vs_baseline": round(best256 / ref_rps, 1),
         "secondary": {
-            "sustained_rps_256sq_16chunk": round(r_sus["best"], 1),
+            "sustained_rps_256sq_64chunk": round(r_sus["best"], 1),
             "per_dispatch_rps_256sq": round(r256["best"], 1),
             "mc_realizations_per_sec_512sq_chip": round(r512["best"], 1),
             "mc_realizations_per_sec_1024sq_chip": round(r1k["best"], 1),
