@@ -138,6 +138,13 @@ def build_sweep(base_params, samples):
 
     # --- stamp out lightweight clones ---
     sweep_synth = base_params.get("SYNTH", "matmul")
+    if sweep_synth == "auto":
+        # configs built from DEFAULTS carry SYNTH='auto' explicitly;
+        # stamping the unresolved 'auto' onto clones would match no
+        # synthesis branch downstream. Use the base's engine-resolved
+        # pick (the measured per-geometry auto rule) — per-sample factor
+        # builds below apply when it resolves to a colfac path.
+        sweep_synth = base._synth
     W_f64 = None
     if sweep_synth in ("colfac", "pallas_colfac"):
         # factor build input: the pruned IFT matrix is grid-only, shared
@@ -149,9 +156,10 @@ def build_sweep(base_params, samples):
         s = copy.copy(base)
         s.params = dict(p)
         s.params["ZENITH_ANGLE"] = zen[i]
-        # sweeps default to the factor-free matmul path: per-sample colfac
-        # factorisation would cost more than it saves here
-        s.params["SYNTH"] = base_params.get("SYNTH", "matmul")
+        # sweeps default to the factor-free matmul path when SYNTH is
+        # absent (a per-sample colfac factorisation costs more than it
+        # saves for one-shot sweeps); 'auto' resolves via the base above
+        s.params["SYNTH"] = sweep_synth
         s.h, s.cn2, s.L = h_b[i], cn2_b[i], L_b[i]
         s.wind_vector = wind_vec_b[i]
         s.wind_speed = np.hypot(wind_vec_b[i, :, 0], wind_vec_b[i, :, 1])

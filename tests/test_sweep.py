@@ -146,3 +146,25 @@ def test_sweep_subharm_matches_individual_inits():
                            sims[1].powerspec_subharm)
     r = sims[0].run()
     assert np.isfinite(np.asarray(r.power)).all()
+
+
+def test_sweep_resolves_auto_synth():
+    """Configs built from DEFAULTS carry SYNTH='auto' explicitly; clones
+    must get the base's engine-resolved path, never the literal 'auto'
+    (which matches no synthesis branch downstream)."""
+    base = make_test_params(TEMPORAL=False, NPXLS=164, NITER=200,
+                            NCHUNKS=2, SYNTH="auto")
+    zeniths = np.array([30.0, 55.0])
+    sims = sweep.build_sweep(base, {"ZENITH_ANGLE": zeniths})
+    base_sim = fast_tpu.Fast(dict(base))
+    assert base_sim._synth != "auto"
+    for s in sims:
+        assert s._synth == base_sim._synth
+        assert s.params["SYNTH"] == base_sim._synth
+    # on CPU the auto rule resolves to colfac: each clone must carry its
+    # own per-sample factor tables, not the base atmosphere's
+    if base_sim._synth == "colfac":
+        assert not np.allclose(np.asarray(sims[0]._L_colfac),
+                               np.asarray(sims[1]._L_colfac))
+    r = sims[0].run()
+    assert np.isfinite(np.asarray(r.power)).all()
