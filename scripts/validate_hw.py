@@ -149,6 +149,53 @@ def fade_tol(nq):
     return 2.0
 
 
+def section_midzone_tiles(n):
+    """Promoted huge-pupil tiles draw the same distribution.
+
+    The interpreter tile-invariance test (tests/test_pallas.py) cannot
+    see this: interpreter ``prng_random_bits`` returns zeros, and on
+    hardware the per-program PRNG seeding folds grid indices, so
+    different tiles draw *different streams* of the same RV family.
+    This panel KS-checks the production midzone tile (split (32, 64) at
+    P=256, promoted round 4 from scripts/probe_1024_tiles.py) against
+    the conservative (8, 8) rung on the same packed tables.
+    """
+    print(f"\n== 2b. promoted midzone tile (P=256 split) KS (n={n}) ==",
+          flush=True)
+    import jax
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    import fast_tpu
+    from fast_tpu.ops import pallas_synth as ps
+
+    sim = fast_tpu.Fast(g._flagship_params(
+        npxls=512, niter=n, nchunks=1, RNG="rbg", SYNTH="pallas_colfac",
+        D_GROUND=2.0, DSUBAP=0.25))
+    assert ps.colfac_layout(None, sim.Npxls_pup,
+                            sim.params["PRECISION"]) == "split"
+    L = np.asarray(sim._L_colfac)
+    W = np.asarray(sim._W_pruned)
+    prec = sim.params["PRECISION"]
+    noise = sim.params.get("MC_NOISE", "gauss")
+    l2, w2 = ps.colfac_pack_tables(L, W, prec, noise=noise)
+    tabs = (jax.device_put(jnp.asarray(l2)), jax.device_put(jnp.asarray(w2)))
+    pm = np.asarray(sim._pm)
+    nb = n // 2
+    samp = {}
+    for bt, mt in ((32, 64), (8, 8)):
+        fn = jax.jit(lambda seed, l, w, bt=bt, mt=mt:
+                     ps.fused_colfac_detect_packed(
+                         seed, l, w, pm, nb, bt, mt, precision=prec,
+                         noise=noise))
+        out = np.asarray(fn(31337, *tabs))
+        samp[(bt, mt)] = out[:, 0] ** 2 + out[:, 1] ** 2
+    a, b = samp[(32, 64)], samp[(8, 8)]
+    p = ks(a, b)
+    dm = abs(a.mean() / b.mean() - 1)
+    record("tiles", f"midzone split (32,64) vs (8,8) intensity (n={n})",
+           f"KS p={p:.3f} dmean={dm:.4f}", p > 1e-3 and dm < 0.01)
+
+
 def section_fades(n):
     print(f"\n== 3. deep-fade quantiles (n={n}/path) ==", flush=True)
     base = power_samples(n, seed=41, SYNTH="colfac", MC_NOISE="gauss",
@@ -391,6 +438,7 @@ def main():
     t0 = time.time()
     section_iid_panels(n_ks)
     section_folded_mix(n_fold)
+    section_midzone_tiles(n_fold)
     section_fades(n_fade)
     section_temporal(n_steps)
     section_scan_sharded(n_ks)
