@@ -929,6 +929,30 @@ class Fast:
             return arr[..., 0] + 1j * arr[..., 1]
         return arr
 
+    @staticmethod
+    @jax.jit
+    def _mc_stats_coherent(arr):
+        """Device-side (mean re, mean im, scint index, n nonfinite).
+
+        Two tiny reduction passes over the run output on device, so
+        ``run()`` can log its summary and enforce the finite guard by
+        fetching four scalars instead of the multi-million-sample series
+        (a 2²⁴ fetch costs ~21 s through the axon relay)."""
+        re, im = arr[..., 0], arr[..., 1]
+        mr, mi = re.mean(), im.mean()
+        var = ((re - mr) ** 2 + (im - mi) ** 2).mean()
+        nbad = jnp.sum(~jnp.isfinite(arr))
+        return mr, mi, var / (mr * mr + mi * mi), nbad
+
+    @staticmethod
+    @jax.jit
+    def _mc_stats_real(arr):
+        """Real-detector twin of :meth:`_mc_stats_coherent`."""
+        m = arr.mean()
+        var = ((arr - m) ** 2).mean()
+        nbad = jnp.sum(~jnp.isfinite(arr))
+        return m, var / (m * m), nbad
+
     def _run_all_fn_temporal(self):
         return self._cached_run_fn("temporal_screens",
                                    self._build_run_all_fn_temporal)
@@ -1082,7 +1106,6 @@ class Fast:
         coherent = bool(self.params["COHERENT"])
         I = np.concatenate([self._combine_complex(o, coherent) for o in outs])
         self.result = FastResult(I, self.diffraction_limit)
-        self.I = self.result.power
         logger.info(self.result)
         return self.result
 
@@ -1100,22 +1123,43 @@ class Fast:
         coherent = bool(self.params["COHERENT"])
         if not self.temporal:
             run_all = self._run_all_fn()
-            I = self._combine_complex(run_all(key_logamp, key_mc), coherent)
+            out = run_all(key_logamp, key_mc)
         else:
             run_all = (self._run_all_fn_temporal_ar()
                        if self._temporal_synth == "ar"
                        else self._run_all_fn_temporal())
-            I = self._combine_complex(run_all(key_logamp, key_scr), coherent)
-        if not np.isfinite(I).all():
+            out = run_all(key_logamp, key_scr)
+        # summary moments + finite guard on device: four scalars cross
+        # the relay; the full series materialises lazily on first access
+        # of a series-valued result property
+        if coherent:
+            mr, mi, si, nbad = self._mc_stats_coherent(out)
+            mean = complex(float(mr), float(mi))
+        else:
+            m, si, nbad = self._mc_stats_real(out)
+            mean = float(m)
+        if int(nbad):
             raise FloatingPointError(
                 "Monte Carlo run produced non-finite iterates "
-                f"({np.count_nonzero(~np.isfinite(I))}/{I.size}); "
-                "check the configuration (validate() passed, so this "
-                "points at a synthesis-path numerical problem)")
-        self.result = FastResult(I, self.diffraction_limit)
-        self.I = self.result.power  # backwards compatibility
+                f"({int(nbad)} non-finite values over {out.shape[0]} "
+                "iterates); check the configuration (validate() passed, "
+                "so this points at a synthesis-path numerical problem)")
+        self.result = FastResult(out, self.diffraction_limit,
+                                 coherent=coherent,
+                                 moments=(mean, float(si)))
         logger.info(self.result)
         return self.result
+
+    @property
+    def I(self):
+        """The run's power series (reference-compatible alias).
+
+        Delegates to ``result.power`` — materialises the series on first
+        access (see :class:`FastResult`).
+        """
+        if getattr(self, "result", None) is None:
+            raise AttributeError("I is available after run()")
+        return self.result.power
 
     @property
     def logamp(self):
@@ -1558,14 +1602,38 @@ def _run_all_temporal_ar(key_logamp, key_scr, C, *, nchunks, B, coherent,
 class FastResult:
     """Unit conversions over the raw normalised Monte Carlo iterates.
 
-    Mirrors the reference (``fast/fast.py:931-994``).
+    Mirrors the reference (``fast/fast.py:931-994``). The raw iterate
+    series materialises host-side lazily: fetching a multi-million-
+    sample array through the axon relay costs tens of seconds (21 s for
+    a 2²⁴ run — the dominant cost of ``run()`` at scale), so ``run()``
+    passes the *device* array plus device-computed summary moments, and
+    the transfer happens only when a series-valued property is read.
     """
 
-    def __init__(self, random_iters, diffraction_limit, header=None):
-        self._r = np.asarray(random_iters)
+    def __init__(self, random_iters, diffraction_limit, header=None,
+                 coherent=None, moments=None):
+        # coherent=None: `random_iters` is already final (host complex or
+        # real) — the mesh/scan runners and `load_result` use this form.
+        # coherent=True/False: `random_iters` is the run program's raw
+        # float output ((n, 2) stacked re/im when coherent — complex
+        # cannot cross the axon program boundary), recombined on fetch.
+        self._raw = random_iters
+        self._np = None
+        self._coherent = coherent
+        self._moments = moments  # (mean, scint_index) or None
         self._dl = diffraction_limit
         if header is not None:
             self.hdr = header
+
+    @property
+    def _r(self):
+        if self._np is None:
+            arr = np.asarray(self._raw)
+            if self._coherent:
+                arr = arr[..., 0] + 1j * arr[..., 1]
+            self._np = arr
+            self._raw = None  # drop the device reference
+        return self._np
 
     @property
     def dB_rel(self):
@@ -1585,10 +1653,14 @@ class FastResult:
 
     @property
     def scintillation_index(self):
+        if self._moments is not None and self._np is None:
+            return self._moments[1]
         return (self._r / self._r.mean()).var()
 
     @property
     def avg_power_W(self):
+        if self._moments is not None and self._np is None:
+            return self._dl * self._moments[0]
         return self.power.mean()
 
     @property
@@ -1597,6 +1669,8 @@ class FastResult:
 
     @property
     def avg_power_dB_rel(self):
+        if self._moments is not None and self._np is None:
+            return 10 * np.log10(self._moments[0])
         return 10 * np.log10((self.power / self._dl).mean())
 
     @property

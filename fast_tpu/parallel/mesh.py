@@ -133,7 +133,6 @@ def run_sharded(sim, mesh=None, seed=None):
     from ..engine import Fast
     I = Fast._combine_complex(out, bool(sim.params["COHERENT"]))
     sim.result = FastResult(I, sim.diffraction_limit)
-    sim.I = sim.result.power
     return sim.result
 
 
@@ -240,7 +239,6 @@ def _run_sharded_temporal_ar_layers(sim, mesh, seed=None):
     from ..engine import Fast
     I = Fast._combine_complex(out, coherent)
     sim.result = FastResult(I, sim.diffraction_limit)
-    sim.I = sim.result.power
     return sim.result
 
 
@@ -329,7 +327,6 @@ def _run_sharded_temporal_ar(sim, mesh=None, seed=None):
     from ..engine import Fast
     I = Fast._combine_complex(out, coherent)
     sim.result = FastResult(I, sim.diffraction_limit)
-    sim.I = sim.result.power
     return sim.result
 
 
@@ -400,7 +397,6 @@ def _run_sharded_temporal(sim, mesh=None, seed=None):
     from ..engine import Fast
     I = Fast._combine_complex(out, coherent)
     sim.result = FastResult(I, sim.diffraction_limit)
-    sim.I = sim.result.power
     return sim.result
 
 

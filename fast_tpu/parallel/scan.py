@@ -157,7 +157,6 @@ def run_scan_sharded(sims, mesh, seed=None):
     results = []
     for i, s in enumerate(sims):
         s.result = FastResult(out[i], s.diffraction_limit)
-        s.I = s.result.power
         results.append(s.result)
     return results
 
@@ -609,6 +608,5 @@ def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):
     results = []
     for i, s in enumerate(sims):
         s.result = FastResult(out[i], s.diffraction_limit)
-        s.I = s.result.power
         results.append(s.result)
     return results
