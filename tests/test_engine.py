@@ -308,3 +308,30 @@ def test_diskcache_lru_eviction(tmp_path, monkeypatch):
     # the most recent entry survives; the oldest was evicted
     assert diskcache.load(keys[-1]) is not None
     assert diskcache.load(keys[0]) is None
+
+
+def test_fastresult_lazy_materialisation():
+    """run() computes summary moments on device and defers the series
+    fetch; reading a series property materialises once, and the moments
+    agree with host-recomputed statistics."""
+    import fast_tpu
+    from fast_tpu.engine import FastResult
+
+    sim = fast_tpu.Fast(make_test_params(TEMPORAL=False, NITER=512,
+                                         NCHUNKS=2, COHERENT=True))
+    res = sim.run()
+    assert res._np is None and res._moments is not None  # summary-only
+    si_dev, pw_dev = res.scintillation_index, res.avg_power_W
+    P = res.power                                        # materialises
+    assert res._np is not None and res._raw is None
+    assert np.iscomplexobj(res._r)                       # recombined
+    np.testing.assert_allclose(res.scintillation_index, si_dev, rtol=1e-5)
+    np.testing.assert_allclose(res.avg_power_W.real, np.real(pw_dev),
+                               rtol=1e-5)
+    np.testing.assert_allclose(sim.I, P)                 # property alias
+    # legacy positional construction (mesh runners, load_result) is
+    # eager-compatible: already-final arrays pass straight through
+    r2 = FastResult(np.asarray(res._r), res._dl)
+    np.testing.assert_allclose(r2.power, P)
+    np.testing.assert_allclose(r2.scintillation_index,
+                               res.scintillation_index, rtol=1e-5)
