@@ -130,9 +130,24 @@ def run_sharded(sim, mesh=None, seed=None):
     with mesh:
         out = shard_fn(jax.random.key_data(key_mc), chi)
 
+    # summary moments + finite guard on device (collective reductions
+    # under the mesh sharding); the gathered series materialises lazily —
+    # on a pod the full-series fetch is the dominant host cost, exactly
+    # as on the single-chip path (engine._run)
     from ..engine import Fast
-    I = Fast._combine_complex(out, bool(sim.params["COHERENT"]))
-    sim.result = FastResult(I, sim.diffraction_limit)
+    coherent = bool(sim.params["COHERENT"])
+    if coherent:
+        mr, mi, si, nbad = Fast._mc_stats_coherent(out)
+        mean = complex(float(mr), float(mi))
+    else:
+        m, si, nbad = Fast._mc_stats_real(out)
+        mean = float(m)
+    if int(nbad):
+        raise FloatingPointError(
+            f"sharded Monte Carlo run produced {int(nbad)} non-finite "
+            f"values over {out.shape[0]} iterates")
+    sim.result = FastResult(out, sim.diffraction_limit, coherent=coherent,
+                            moments=(mean, float(si)))
     return sim.result
 
 
