@@ -1105,6 +1105,10 @@ class Fast:
                               chi[i * B:(i + 1) * B], *tables))
         coherent = bool(self.params["COHERENT"])
         I = np.concatenate([self._combine_complex(o, coherent) for o in outs])
+        if not np.isfinite(I).all():
+            raise FloatingPointError(
+                "Monte Carlo run produced non-finite iterates "
+                f"({np.count_nonzero(~np.isfinite(I))} over {I.shape[0]})")
         self.result = FastResult(I, self.diffraction_limit)
         logger.info(self.result)
         return self.result
