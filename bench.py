@@ -327,21 +327,21 @@ def main():
     _PARTIAL["secondary"]["default_config_rps_256sq"] = \
         round(r_def["best"], 1)
 
-    print("# 512^2 iid (32-chunk sustained)", file=sys.stderr)
-    # 262k realizations per dispatch (~0.3 s device) — the same dispatch
-    # duration as the 256^2 sustained entry, so the ~12 ms relay latency
-    # amortizes equally across grid sizes
+    print("# 512^2 iid (64-chunk sustained)", file=sys.stderr)
+    # 524k realizations per dispatch (~0.6 s device) — interleaved A/B
+    # vs 32 chunks (round-4 continuation): best +3.9%, median +6.3%,
+    # and the per-set spread collapses (worst set 698k vs 531k)
     sim512 = fast_tpu.Fast(g._flagship_params(
-        npxls=512, niter=262144, nchunks=32, RNG="rbg", SYNTH=synth))
-    r512 = measure_rps(sim512, 262144, rep_sets=4, reps=1)
+        npxls=512, niter=524288, nchunks=64, RNG="rbg", SYNTH=synth))
+    r512 = measure_rps(sim512, 524288, rep_sets=4, reps=1)
     _PARTIAL["secondary"]["mc_realizations_per_sec_512sq_chip"] = \
         round(r512["best"], 1)
 
-    print("# 512^2 default config (SYNTH='auto', 32-chunk sustained)",
+    print("# 512^2 default config (SYNTH='auto', 64-chunk sustained)",
           file=sys.stderr)
     sim_def512 = fast_tpu.Fast(g._flagship_params(
-        npxls=512, niter=262144, nchunks=32))
-    r_def512 = measure_rps(sim_def512, 262144, rep_sets=3, reps=1)
+        npxls=512, niter=524288, nchunks=64))
+    r_def512 = measure_rps(sim_def512, 524288, rep_sets=3, reps=1)
     _PARTIAL["secondary"]["default_config_rps_512sq"] = \
         round(r_def512["best"], 1)
 
