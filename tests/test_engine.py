@@ -335,3 +335,23 @@ def test_fastresult_lazy_materialisation():
     np.testing.assert_allclose(r2.power, P)
     np.testing.assert_allclose(r2.scintillation_index,
                                res.scintillation_index, rtol=1e-5)
+
+
+def test_fastresult_lazy_materialisation_real():
+    """Non-coherent twin: real-detector moment shortcuts agree with the
+    host-recomputed statistics after materialisation."""
+    import fast_tpu
+
+    sim = fast_tpu.Fast(make_test_params(TEMPORAL=False, NITER=512,
+                                         NCHUNKS=2, COHERENT=False))
+    res = sim.run()
+    assert res._np is None and res._moments is not None
+    si_dev = res.scintillation_index
+    pw_dev = res.avg_power_W
+    dbm_dev = res.avg_power_dBm
+    P = res.power  # materialises the series
+    assert res._np is not None and not np.iscomplexobj(res._r)
+    assert (P >= 0).all()
+    np.testing.assert_allclose(res.scintillation_index, si_dev, rtol=1e-5)
+    np.testing.assert_allclose(res.avg_power_W, pw_dev, rtol=1e-5)
+    np.testing.assert_allclose(res.avg_power_dBm, dbm_dev, rtol=1e-5)
