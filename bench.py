@@ -217,6 +217,65 @@ def measure_comms():
     return out
 
 
+def measure_orbit_pass(nsamp=16, niter=65536):
+    """End-to-end orbit-pass economics (VERDICT r4 #1).
+
+    Times a realistic satellite pass — ``nsamp`` geometry samples from
+    :func:`sample_pass_geometry` → :func:`build_sweep` (the full vmapped
+    f64 PSD assembly, *included* in the wall) → :func:`run_scan_sharded`
+    at ``niter`` realizations per sample. The reference builds ``nsamp``
+    full inits and runs them serially at ~30 r/s
+    (``complete_orbit_simulation.py:187-232``); this is the number that
+    pass has to beat *including* init, not just post-init.
+    """
+    import numpy as np
+
+    from fast_tpu import orbit, parallel, sweep
+    import __graft_entry__ as g
+
+    print(f"# orbit pass: {nsamp} samples x {niter} realizations, "
+          "end-to-end (geometry + vmapped PSD assembly + scan run)",
+          file=sys.stderr)
+    provider = orbit.circular_orbit_provider(600e3, offset_angle_deg=10.0)
+    p = g._flagship_params(npxls=256, niter=niter,
+                           nchunks=max(1, niter // 16384), RNG="rbg")
+    mesh = parallel.make_scan_mesh(1, 1)
+
+    def one_pass(seed):
+        geo = orbit.sample_pass_geometry(
+            provider, np.linspace(-240, 240, nsamp), p["TLOOP"])
+        sims = sweep.build_sweep(p, {
+            "ZENITH_ANGLE": geo["zenith_angles"],
+            "L_SAT": geo["distances"],
+            "DTHETA": geo["paa"],
+            "ANISO_DL": geo["aniso_dl"],
+            "AZIMUT_SAT": geo["azimuts"],
+        })
+        res = parallel.run_scan_sharded(sims, mesh, seed=seed)
+        mean = float(np.mean([float(np.asarray(r.power).mean())
+                              for r in res]))
+        assert np.isfinite(mean)
+        return sims[0].profile.timings
+
+    one_pass(11)  # cold: compiles the assembly + scan programs
+    best_wall, best_t = None, None
+    for rep in range(2):
+        t0 = time.time()
+        timings = one_pass(12 + rep)
+        wall = time.time() - t0
+        print(f"#   warm pass {rep}: {wall:.2f} s", file=sys.stderr)
+        if best_wall is None or wall < best_wall:
+            best_wall, best_t = wall, timings
+    marginal = best_t.get("sweep_assemble", 0.0) / nsamp
+    out = {
+        "orbit_pass_16x65k_wall_s": round(best_wall, 2),
+        "orbit_pass_rps_e2e": round(nsamp * niter / best_wall, 1),
+        "orbit_pass_init_marginal_s_per_sample": round(marginal, 3),
+    }
+    print(f"#   {out}", file=sys.stderr)
+    return out
+
+
 # entries completed so far, so a mid-run outage still records what was
 # measured before the relay dropped (the 256^2 headline lands first)
 _PARTIAL = {}
@@ -390,6 +449,8 @@ def main():
         round(r_ts["best"], 1)
 
     comms = measure_comms()
+    orbit_pass = measure_orbit_pass()
+    _PARTIAL["secondary"] = {**_PARTIAL.get("secondary", {}), **orbit_pass}
 
     mc_noise = sim.params.get("MC_NOISE", "mixed")
 
@@ -476,6 +537,7 @@ def main():
             "default_config_rps_512sq": round(r_def512["best"], 1),
             "default_config_rps_1024sq": round(r_def1k["best"], 1),
             **comms,
+            **orbit_pass,
         },
         "perf": perf,
     }))

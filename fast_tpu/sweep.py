@@ -19,6 +19,7 @@ scans.
 
 import copy
 import logging
+import time
 
 import jax
 import jax.numpy as jnp
@@ -53,15 +54,31 @@ def build_sweep(base_params, samples):
             base_params.get("DX") in (None, "auto"):
         raise ValueError("pass explicit NPXLS and DX so the sweep shares "
                          "one grid")
+    base_params = dict(base_params)
     if "SYNTH" not in base_params:
+        # factor-free default: the fused TPU kernel matches the colfac
+        # record within a few % at 256^2 and needs no per-sample Cholesky
+        # (measured round 5: a 16-sample pass runs 858k r/s aggregate
+        # fused vs 309k matmul); off-TPU, matmul. Set it on the base too,
+        # so its init doesn't build a factor stack no clone will use
+        # (2-20 s at 512^2 under the engine's 'auto' colfac pick).
+        base_params["SYNTH"] = (
+            "pallas_fused"
+            if (jax.default_backend() == "tpu"
+                and np.dtype(base_params.get("DTYPE", "float32"))
+                == np.float32
+                and not base_params.get("TEMPORAL"))
+            else "matmul")
         logger.info(
-            "sweep clones default to SYNTH='matmul' (factor-free; a "
+            "sweep clones default to the factor-free SYNTH='%s' (a "
             "per-sample colfac factorisation would cost more than it "
-            "saves) — pass SYNTH explicitly to override")
+            "saves for one-shot sweeps) — pass SYNTH explicitly to "
+            "override", base_params["SYNTH"])
 
     nsamples = len(next(iter(samples.values())))
     base = Fast(dict(base_params))
     p = base.params
+    prof = base.profile  # sweep stages land in the shared StageTimer
 
     # --- per-sample geometry (host, cheap) ---
     zen = np.asarray(samples.get(
@@ -110,7 +127,7 @@ def build_sweep(base_params, samples):
             cn2, h, v, dth, *shared, full_outputs=False, **statics))
 
     ctx = jax.default_device(base._cpu) if base._cpu else _Null()
-    with ctx:
+    with ctx, prof.stage("sweep_assemble"):
         out = jax.tree.map(np.asarray, assemble(
             jnp.asarray(cn2_b), jnp.asarray(h_b), jnp.asarray(wind_vec_b),
             jnp.asarray(dtheta_b)))
@@ -122,7 +139,8 @@ def build_sweep(base_params, samples):
             lambda cn2, h, v, dth: psd.assemble_subharm(
                 *grid_args_sh, df_levels, lf_mask_sh, cn2, h, v, dth,
                 *shared, **statics_sh))
-        with (jax.default_device(base._cpu) if base._cpu else _Null()):
+        with (jax.default_device(base._cpu) if base._cpu else _Null()), \
+                prof.stage("sweep_assemble_subharm"):
             out_sh = jax.tree.map(np.asarray, assemble_sh(
                 jnp.asarray(cn2_b), jnp.asarray(h_b),
                 jnp.asarray(wind_vec_b), jnp.asarray(dtheta_b)))
@@ -137,7 +155,7 @@ def build_sweep(base_params, samples):
     weights_b = out["phs_var_weights"]
 
     # --- stamp out lightweight clones ---
-    sweep_synth = base_params.get("SYNTH", "matmul")
+    sweep_synth = base_params["SYNTH"]
     if sweep_synth == "auto":
         # configs built from DEFAULTS carry SYNTH='auto' explicitly;
         # stamping the unresolved 'auto' onto clones would match no
@@ -146,12 +164,23 @@ def build_sweep(base_params, samples):
         # builds below apply when it resolves to a colfac path.
         sweep_synth = base._synth
     W_f64 = None
+    W_shared = None
     if sweep_synth in ("colfac", "pallas_colfac"):
         # factor build input: the pruned IFT matrix is grid-only, shared
         # by every clone; only the per-sample PSD varies
         W_f64 = synthesis.pruned_ift2_matrix(
             base.Npxls, *base.pup_crop, dtype=np.complex128)
+    elif sweep_synth in ("matmul", "pallas", "pallas_fused"):
+        # grid-only: identical for every clone, shared (was per-clone
+        # until round 5 — ~90% of the stamping wall at 512^2)
+        W_shared = getattr(base, "_W_pruned", None)
+        if W_shared is None:
+            W_shared = synthesis.pruned_ift2_matrix(
+                base.Npxls, *base.pup_crop,
+                dtype=np.complex64 if base.dtype == np.float32
+                else np.complex128)
     sims = []
+    _t_clones = time.perf_counter()
     for i in range(nsamples):
         s = copy.copy(base)
         s.params = dict(p)
@@ -198,10 +227,7 @@ def build_sweep(base_params, samples):
         s._tables_version = getattr(s, "_tables_version", 0) + 1
         s._sqrt_psd = np.sqrt(powerspec_b[i]).astype(s.dtype)
         if s._synth in ("matmul", "pallas", "pallas_fused"):
-            s._W_pruned = synthesis.pruned_ift2_matrix(
-                s.Npxls, *s.pup_crop,
-                dtype=np.complex64 if s.dtype == np.float32
-                else np.complex128)
+            s._W_pruned = W_shared
         elif s._synth in ("colfac", "pallas_colfac"):
             # the factor tables depend on the per-sample PSD: a clone
             # keeping the base's ``_L_colfac`` would run every sample
@@ -222,6 +248,7 @@ def build_sweep(base_params, samples):
                 diskcache.save(key, L)
             s._L_colfac = L
         sims.append(s)
+    prof.timings["sweep_clones"] = time.perf_counter() - _t_clones
     return sims
 
 
