@@ -85,6 +85,31 @@ def calculate_wind_correction(h, theta_loop, Tloop):
     ]).T
 
 
+def _warn_colfac_huge_pupil(npxls, npxls_pup, _lane=128):
+    """Loud performance warning for an explicitly pinned 'pallas_colfac'
+    at huge pupils (VERDICT r4 #6).
+
+    The colfac kernel's advantage (noise drawn in the P²-sized pupil
+    basis instead of the N²-sized grid) inverts once the pupil itself is
+    large: measured on v5e at 1024²/P=512 the fused kernel runs 23.6k r/s
+    vs colfac's 6.4k (`scripts/probe_1024_tiles.py`, BASELINE.md round 4).
+    SYNTH='auto' already picks fused there; this warns users who pinned
+    the kernel name from the 256²/512² docs, where colfac is the record
+    path. Returns True when the warning fired (for tests).
+    """
+    P = -(-int(npxls_pup) // _lane) * _lane  # round up to the lane tile
+    if P >= 256:
+        logger.warning(
+            "SYNTH='pallas_colfac' was explicitly requested at a %d px "
+            "pupil (grid %d²): at pupils >= 256 px the fused kernel "
+            "('pallas_fused' — what SYNTH='auto' picks here) measures "
+            "3-4x faster (1024²/512 px: 23.6k vs 6.4k r/s, "
+            "scripts/probe_1024_tiles.py). Keeping the requested path.",
+            int(npxls_pup), int(npxls))
+        return True
+    return False
+
+
 class Fast:
     """FAST simulation object.
 
@@ -595,6 +620,8 @@ class Fast:
                 logger.warning(
                     "per-chunk noise tensor is %.1f GB; increase NCHUNKS "
                     "to bound device memory", chunk_bytes / 1e9)
+        if self.params["SYNTH"] == "pallas_colfac":
+            _warn_colfac_huge_pupil(self.Npxls, self.Npxls_pup)
         self._synth = synth
         if synth in ("matmul", "pallas", "pallas_fused", "pallas_colfac",
                      "colfac") and not self.temporal:
@@ -1076,10 +1103,7 @@ class Fast:
         """
         with self.profile.stage("mc_run"):
             if progress and self.temporal:
-                logger.warning(
-                    "progress=True is not supported in TEMPORAL mode (the "
-                    "series runs as one fused device program); running "
-                    "without a progress bar")
+                return self._run_progress_temporal()
             if progress and not self.temporal:
                 return self._run_progress()
             return self._run()
@@ -1105,6 +1129,60 @@ class Fast:
                               chi[i * B:(i + 1) * B], *tables))
         coherent = bool(self.params["COHERENT"])
         I = np.concatenate([self._combine_complex(o, coherent) for o in outs])
+        if not np.isfinite(I).all():
+            raise FloatingPointError(
+                "Monte Carlo run produced non-finite iterates "
+                f"({np.count_nonzero(~np.isfinite(I))} over {I.shape[0]})")
+        self.result = FastResult(I, self.diffraction_limit)
+        logger.info(self.result)
+        return self.result
+
+    def _run_progress_temporal(self):
+        """Chunk-by-chunk temporal dispatch with a tqdm bar (reference UX,
+        ``fast/fast.py:130``): one device dispatch per chunk, the AR
+        Fourier state (or the frozen-flow screen set) carried across
+        dispatches — complex state crosses the axon boundary as stacked
+        (re, im) floats. Statistically equivalent to the single-program
+        path (independent per-chunk noise keys; same per-chunk kernels);
+        not bit-identical to it."""
+        from tqdm import tqdm
+
+        key = make_key(self.seed, impl=self.params["RNG"])
+        key_logamp, key_scr, _ = jax.random.split(key, 3)
+        self._logamp_key = key_logamp
+        self._logamp_cache = None
+        coherent = bool(self.params["COHERENT"])
+        ar = self._temporal_synth == "ar"
+        # reuse the cached single-program builder's device-pinned table
+        # pytree and static kwargs (functools.partial keywords)
+        kw = dict((self._run_all_fn_temporal_ar() if ar
+                   else self._run_all_fn_temporal()).keywords)
+        C, B = kw["C"], kw["B"]
+        chi_all = jax.jit(synthesis.draw_logamp, static_argnames=(
+            "niter", "dtype"))(
+            key_logamp, self.Niter, C["logamp_var"],
+            temporal_powerspec=C["temporal_ps"], dtype=self.dtype)
+        outs = []
+        if ar:
+            kinit, knoise = jax.random.split(key_scr)
+            a2 = _temporal_ar_init(kinit, C)
+            for i in tqdm(range(self.Nchunks)):
+                out, a2 = _chunk_temporal_ar(
+                    a2, jax.random.fold_in(knoise, i),
+                    chi_all[i * B:(i + 1) * B], C, B=B,
+                    coherent=coherent, crop=kw["crop"],
+                    boiling=kw["boiling"], precision=kw["precision"],
+                    noise=kw["noise"], stream=kw["stream"])
+                outs.append(out)
+        else:
+            screens = jax.jit(synthesis.synthesize_layer_screens)(
+                key_scr, C["sqrt_psd_layers"], C["df"])
+            for i in tqdm(range(self.Nchunks)):
+                outs.append(_chunk_temporal_screens(
+                    i, chi_all[i * B:(i + 1) * B], screens, C,
+                    coherent=coherent))
+        I = np.concatenate([self._combine_complex(o, coherent)
+                            for o in outs])
         if not np.isfinite(I).all():
             raise FloatingPointError(
                 "Monte Carlo run produced non-finite iterates "
@@ -1601,6 +1679,90 @@ def _run_all_temporal_ar(key_logamp, key_scr, C, *, nchunks, B, coherent,
     _, outs = jax.lax.scan(body, (a0, knoise),
                            chi_all.reshape((nchunks, B)))
     return outs.reshape((nchunks * B,) + outs.shape[2:])
+
+
+@jax.jit
+def _temporal_ar_init(kinit, C):
+    """Initial AR Fourier state as a (2, nlayers, N, N) float stack (the
+    progress path carries it across dispatches; complex cannot cross the
+    axon program boundary)."""
+    sqrt_psd_df = C["sqrt_psd_df"]
+    cdt = jnp.complex64 if sqrt_psd_df.dtype == jnp.float32 \
+        else jnp.complex128
+    a0 = synthesis.complex_normal(kinit, sqrt_psd_df.shape,
+                                  dtype=cdt) * sqrt_psd_df
+    return jnp.stack([jnp.real(a0), jnp.imag(a0)])
+
+
+@_functools.partial(
+    jax.jit,
+    static_argnames=("B", "coherent", "crop", "boiling", "precision",
+                     "noise", "stream"))
+def _chunk_temporal_ar(a2, key_noise, chi_c, C, *, B, coherent, crop,
+                       boiling, precision, noise, stream):
+    """One temporal-AR chunk for the tqdm progress path.
+
+    Same per-chunk math as :func:`_run_all_temporal_ar`'s scan body
+    (fused Pallas kernel when ``ph2`` tables are present, XLA
+    couplings/exact-ifft2 otherwise); the AR state enters and leaves as
+    a float stack and each chunk draws from an independent key.
+    """
+    lo, hi = crop
+    sqrt_psd_df = C["sqrt_psd_df"]
+    cdt = jnp.complex64 if sqrt_psd_df.dtype == jnp.float32 \
+        else jnp.complex128
+    a = jax.lax.complex(a2[0], a2[1]).astype(cdt)
+    pm, dx, norm = C["pm"], C["dx"], C["norm"]
+    W = jax.lax.complex(C["w2"][0], C["w2"][1]) if "w2" in C else None
+    if "ph2" in C:
+        from .ops import pallas_synth
+        seed = jax.random.bits(key_noise, (), "uint32").astype(jnp.int32)
+        ph_scaled = jax.lax.complex(C["ph2"][0], C["ph2"][1])
+        kernel = (pallas_synth.ar_flow_streamed if stream
+                  else pallas_synth.ar_flow_fused)
+        c, a = kernel(seed, a, ph_scaled, C.get("ns"), W, pm, B,
+                      precision=precision, noise=noise)
+        pc = jax.lax.complex(c[:, 0], c[:, 1]) * (dx ** 2 / norm)
+        out = jnp.exp(chi_c).astype(jnp.float32) * pc
+    else:
+        step_phasor = jax.lax.complex(
+            jnp.cos(C["step_phase"]), jnp.sin(C["step_phase"])).astype(cdt)
+        alpha = C["alpha"][:, None, None]
+        sqrt1ma = jnp.sqrt(jnp.maximum(0.0, 1.0 - alpha ** 2)).astype(
+            sqrt_psd_df.dtype)
+        if W is not None:
+            a, _, out = synthesis.ar_flow_couplings(
+                a, key_noise, step_phasor, sqrt_psd_df, alpha, sqrt1ma,
+                chi_c, W, pm, dx, norm, boiling, precision=precision)
+        else:
+            a, _, A = synthesis.ar_flow_series(
+                a, key_noise, step_phasor, sqrt_psd_df, alpha, sqrt1ma,
+                B, boiling)
+            phs = ift2(A, 1.0).real[:, lo:hi, lo:hi]
+            pc = synthesis.detector_coupling(phs, pm, dx, norm)
+            out = jnp.exp(chi_c).astype(pc.real.dtype) * pc
+    res = (jnp.abs(out) ** 2 if not coherent
+           else jnp.stack([out.real, out.imag], axis=-1))
+    return res, jnp.stack([jnp.real(a), jnp.imag(a)])
+
+
+@_functools.partial(jax.jit, static_argnames=("coherent",))
+def _chunk_temporal_screens(i, chi_c, screens, C, *, coherent):
+    """One frozen-flow (large-screens) chunk for the tqdm progress path —
+    :func:`_run_all_temporal_screens`'s scan body, dispatched per chunk
+    (the chunk trajectory is affine in the chunk index, so no state
+    carries; the screens are synthesized once and stay device-resident)."""
+    base0, shift_chunk = C["base0"], C["shift_chunk"]
+    pm, dx, norm = C["pm"], C["dx"], C["norm"]
+    i = jnp.asarray(i, pm.dtype)
+    rows = base0[:, 0] + i * shift_chunk[:, 0, None, None]
+    cols = base0[:, 1] + i * shift_chunk[:, 1, None, None]
+    phs = synthesis.sample_frozen_flow(screens, rows, cols)
+    pc = synthesis.detector_coupling(phs, pm, dx, norm)
+    out = jnp.exp(chi_c).astype(pc.real.dtype) * pc
+    if not coherent:
+        return jnp.abs(out) ** 2
+    return jnp.stack([out.real, out.imag], axis=-1)
 
 
 class FastResult:

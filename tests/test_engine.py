@@ -310,24 +310,32 @@ def test_diskcache_lru_eviction(tmp_path, monkeypatch):
     assert diskcache.load(keys[0]) is None
 
 
-def test_fastresult_lazy_materialisation():
+@pytest.mark.parametrize("coherent", [True, False])
+def test_fastresult_lazy_materialisation(coherent):
     """run() computes summary moments on device and defers the series
     fetch; reading a series property materialises once, and the moments
-    agree with host-recomputed statistics."""
+    agree with host-recomputed statistics (coherent complex field and
+    real-detector twins)."""
     import fast_tpu
     from fast_tpu.engine import FastResult
 
     sim = fast_tpu.Fast(make_test_params(TEMPORAL=False, NITER=512,
-                                         NCHUNKS=2, COHERENT=True))
+                                         NCHUNKS=2, COHERENT=coherent))
     res = sim.run()
     assert res._np is None and res._moments is not None  # summary-only
     si_dev, pw_dev = res.scintillation_index, res.avg_power_W
+    dbm_dev = res.avg_power_dBm
     P = res.power                                        # materialises
     assert res._np is not None and res._raw is None
-    assert np.iscomplexobj(res._r)                       # recombined
+    assert np.iscomplexobj(res._r) == coherent
+    if not coherent:
+        assert (P >= 0).all()
     np.testing.assert_allclose(res.scintillation_index, si_dev, rtol=1e-5)
-    np.testing.assert_allclose(res.avg_power_W.real, np.real(pw_dev),
+    np.testing.assert_allclose(np.real(res.avg_power_W), np.real(pw_dev),
                                rtol=1e-5)
+    # dBm is log-scale: a relative tolerance collapses near 0 dBm —
+    # compare absolutely (1e-4 dB)
+    np.testing.assert_allclose(res.avg_power_dBm, dbm_dev, atol=1e-4)
     np.testing.assert_allclose(sim.I, P)                 # property alias
     # legacy positional construction (mesh runners, load_result) is
     # eager-compatible: already-final arrays pass straight through
@@ -337,21 +345,18 @@ def test_fastresult_lazy_materialisation():
                                res.scintillation_index, rtol=1e-5)
 
 
-def test_fastresult_lazy_materialisation_real():
-    """Non-coherent twin: real-detector moment shortcuts agree with the
-    host-recomputed statistics after materialisation."""
-    import fast_tpu
+def test_colfac_huge_pupil_warning(caplog):
+    """Explicitly pinned 'pallas_colfac' at pupils >= 256 px logs the
+    measured performance warning (VERDICT r4 #6); the auto rule and
+    small pupils stay silent."""
+    import logging
 
-    sim = fast_tpu.Fast(make_test_params(TEMPORAL=False, NITER=512,
-                                         NCHUNKS=2, COHERENT=False))
-    res = sim.run()
-    assert res._np is None and res._moments is not None
-    si_dev = res.scintillation_index
-    pw_dev = res.avg_power_W
-    dbm_dev = res.avg_power_dBm
-    P = res.power  # materialises the series
-    assert res._np is not None and not np.iscomplexobj(res._r)
-    assert (P >= 0).all()
-    np.testing.assert_allclose(res.scintillation_index, si_dev, rtol=1e-5)
-    np.testing.assert_allclose(res.avg_power_W, pw_dev, rtol=1e-5)
-    np.testing.assert_allclose(res.avg_power_dBm, dbm_dev, rtol=1e-5)
+    from fast_tpu.engine import _warn_colfac_huge_pupil
+
+    with caplog.at_level(logging.WARNING, logger="fast_tpu.engine"):
+        assert _warn_colfac_huge_pupil(1024, 500)
+    assert "3-4x faster" in caplog.text
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="fast_tpu.engine"):
+        assert not _warn_colfac_huge_pupil(512, 126)
+    assert not caplog.text
