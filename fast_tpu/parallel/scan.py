@@ -42,8 +42,9 @@ def run_scan_sharded(sims, mesh, seed=None):
     backend) and ``pallas_fused`` / ``pallas_colfac`` (TPU —
     per-configuration tables stream through ``shard_map`` into the fused
     kernels; the colfac factor stacks ship prepadded, bf16 at
-    PRECISION='default'). Temporal AR configurations shard one ordered
-    series per configuration.
+    PRECISION='default'). Temporal configurations (AR and grown-grid
+    screens mode) shard one ordered series per configuration over the
+    ``scan`` axis (mc must be 1).
 
     Args:
         sims: list of initialised :class:`fast_tpu.Fast` objects sharing
@@ -60,10 +61,7 @@ def run_scan_sharded(sims, mesh, seed=None):
     if s0.temporal:
         if getattr(s0, "_temporal_synth", "screens") == "ar":
             return _run_scan_sharded_temporal_ar(sims, mesh, seed)
-        raise NotImplementedError(
-            "scan sharding supports TEMPORAL=False or TEMPORAL_SYNTH='ar' "
-            "(fixed-grid series); the grown-grid 'screens' mode does not "
-            "shard over configurations")
+        return _run_scan_sharded_temporal_screens(sims, mesh, seed)
     synth_override = None
     if s0._synth == "pallas":
         if all(s.params.get("SYNTH") == "auto" for s in sims):
@@ -458,6 +456,173 @@ def _temporal_ar_program(key_data, C, *, mesh, use_batch, boiling, coherent,
         check_vma=not use_batch)
     return fn(jax.random.key_data(key_scr), C["spds"], C["ph2"], C["pms"],
               C["norms"], C["alphas"], C["s1mas"], chi)
+
+
+# per-sim tables of the temporal screens scan program (sims on ``scan``)
+_TEMPORAL_SCREENS_TABLE_SPECS = {
+    "spls": P("scan"), "base0": P("scan"), "shifts": P("scan"),
+    "pms": P("scan"), "norms": P("scan"), "lavars": P("scan"),
+    "tps": P("scan"),
+}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "coherent", "local_sims", "rng_impl",
+                     "nchunks", "B", "has_tps", "dtype"))
+def _temporal_screens_program(key_data, C, *, mesh, coherent, local_sims,
+                              rng_impl, nchunks, B, has_tps, dtype):
+    """Sharded frozen-flow (grown-grid screens) scan as one jitted program.
+
+    Per local sim: synthesize the layer screens once, then scan the
+    chunk-affine trajectory exactly like the solo program
+    (``engine._run_all_temporal_screens``). Per-sim tables stay
+    device-resident in ``C``; only the RNG key ships per call.
+    """
+    dt = jnp.dtype(dtype)
+    df, dx = C["df"], C["dx"]
+    key = jax.random.wrap_key_data(key_data, impl=rng_impl)
+    key_logamp, key_scr = jax.random.split(key)
+    nsims = C["spls"].shape[0]
+    keys_la = jax.vmap(lambda i: jax.random.fold_in(key_logamp, i))(
+        jnp.arange(nsims))
+    niter = nchunks * B
+    if has_tps:
+        chi = jax.vmap(lambda k, v, ps: synthesis.draw_logamp(
+            k, niter, v, temporal_powerspec=ps, dtype=dt))(
+            keys_la, C["lavars"], C["tps"])
+    else:
+        chi = jax.vmap(lambda k, v: synthesis.draw_logamp(
+            k, niter, v, dtype=dt))(keys_la, C["lavars"])
+
+    def shard_fn(key_data_scr, spl_l, base0_l, shift_l, pm_l, norm_l,
+                 chi_l):
+        key = jax.random.wrap_key_data(key_data_scr, impl=rng_impl)
+        key = jax.random.fold_in(key, jax.lax.axis_index("scan"))
+        outs = []
+        for s in range(local_sims):
+            screens = synthesis.synthesize_layer_screens(
+                jax.random.fold_in(key, s), spl_l[s], df)
+            base0 = base0_l[s]
+            shift = shift_l[s]
+
+            def body(c, inp, screens=screens, base0=base0, shift=shift,
+                     pm=pm_l[s], norm=norm_l[s]):
+                i, chi_i = inp
+                rows = base0[:, 0] + i * shift[:, 0, None, None]
+                cols = base0[:, 1] + i * shift[:, 1, None, None]
+                phs = synthesis.sample_frozen_flow(screens, rows, cols)
+                pc = synthesis.detector_coupling(phs, pm, dx, norm)
+                out = jnp.exp(chi_i).astype(pc.real.dtype) * pc
+                if not coherent:
+                    return c, jnp.abs(out) ** 2
+                return c, jnp.stack([out.real, out.imag], axis=-1)
+
+            idx = jnp.arange(nchunks, dtype=dt)
+            _, o = jax.lax.scan(body, 0,
+                                (idx, chi_l[s].reshape((nchunks, B))))
+            outs.append(o.reshape((nchunks * B,) + o.shape[2:]))
+        return jnp.stack(outs)
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P("scan"), P("scan"), P("scan"), P("scan"),
+                  P("scan"), P("scan")),
+        out_specs=P("scan"))
+    return fn(jax.random.key_data(key_scr), C["spls"], C["base0"],
+              C["shifts"], C["pms"], C["norms"], chi)
+
+
+def _run_scan_sharded_temporal_screens(sims, mesh, seed=None):
+    """Shard independent frozen-flow screens-mode series over ``scan``.
+
+    Closes the last ``NotImplementedError`` in the parallel layer
+    (VERDICT r4 #5): each screens-mode sim is fully independent (its
+    screens synthesize once from its own PSD; the chunk trajectory is
+    affine in the chunk index), so configuration-axis sharding is the
+    natural layout — an orbit pass of short screens-mode series runs one
+    series per scan device. Requires a shared (explicit) grid: the
+    grown-grid no-wrap rule only varies the grid under NPXLS='auto',
+    which :func:`fast_tpu.sweep.build_sweep` already forbids for sweeps.
+    """
+    s0 = sims[0]
+    n_scan, n_mc = mesh.devices.shape
+    if n_mc != 1:
+        raise ValueError(
+            "temporal scan sharding needs an (n_scan, 1) mesh: one ordered "
+            "series per configuration has no mc axis")
+    nsims = len(sims)
+    if nsims % n_scan != 0:
+        raise ValueError(f"len(sims) ({nsims}) must divide by the scan "
+                         f"mesh dimension ({n_scan})")
+    for s in sims[1:]:
+        if (s.Npxls, s.Npxls_pup, s.Niter, s.Nchunks) != (
+                s0.Npxls, s0.Npxls_pup, s0.Niter, s0.Nchunks):
+            raise ValueError(
+                "sims must share grid geometry, NITER and NCHUNKS "
+                "(screens mode: pass explicit NPXLS so the grown grids "
+                "match)")
+        if s._temporal_synth != "screens":
+            raise ValueError("sims must all use TEMPORAL_SYNTH='screens'")
+    has_tps = s0.temporal_logamp_powerspec is not None
+    for s in sims[1:]:
+        if (s.temporal_logamp_powerspec is not None) != has_tps:
+            raise ValueError(
+                "sims must agree on temporal logamp powerspec presence")
+
+    dt = np.dtype(str(s0.dtype))
+    coherent = bool(s0.params["COHERENT"])
+    local_sims = nsims // n_scan
+    rng_impl = {"threefry": "threefry2x32"}.get(
+        s0.params["RNG"], s0.params["RNG"])
+
+    cache_key = (mesh, coherent, s0.Niter, s0.Nchunks, has_tps, str(dt),
+                 tuple((getattr(s, "_uid", id(s)),
+                        getattr(s, "_tables_version", 0)) for s in sims))
+    cached = getattr(s0, "_temporal_screens_scan_cache", None)
+    if cached is not None and cached[0] == cache_key:
+        C = cached[1]
+    else:
+        def tables(s):
+            base0 = (s.pup_coords[np.newaxis, :, np.newaxis, :]
+                     .astype(float)
+                     + s.pixel_shifts[:, :, :, np.newaxis]).astype(dt)
+            shift = s.pixel_shifts[:, :, -1].astype(dt)
+            return s._sqrt_psd_layers.astype(dt), base0, shift
+
+        spls, base0s, shifts = (np.stack(x)
+                                for x in zip(*(tables(s) for s in sims)))
+        C = {
+            "spls": spls, "base0": base0s, "shifts": shifts,
+            "pms": np.stack([s._pm for s in sims]),
+            "norms": np.asarray([s._norm for s in sims], dt),
+            "lavars": np.asarray([s.logamp_var for s in sims], dt),
+            "df": dt.type(s0.freq.main.df),
+            "dx": dt.type(s0.dx),
+        }
+        if has_tps:
+            C["tps"] = np.stack([
+                np.asarray(s.temporal_logamp_powerspec, dt) for s in sims])
+        from jax.sharding import NamedSharding
+        C = {k: jax.device_put(v, NamedSharding(
+                mesh, _TEMPORAL_SCREENS_TABLE_SPECS.get(k, P())))
+             for k, v in C.items()}
+        s0._temporal_screens_scan_cache = (cache_key, C)
+
+    key = make_key(seed if seed is not None else s0.seed,
+                   impl=s0.params["RNG"])
+    out = _temporal_screens_program(
+        jax.random.key_data(key), C, mesh=mesh, coherent=coherent,
+        local_sims=local_sims, rng_impl=rng_impl, nchunks=s0.Nchunks,
+        B=s0.Niter_per_chunk, has_tps=has_tps, dtype=str(dt))
+
+    from ..engine import Fast
+    out = Fast._combine_complex(out, coherent)
+    results = []
+    for i, s in enumerate(sims):
+        s.result = FastResult(out[i], s.diffraction_limit)
+        results.append(s.result)
+    return results
 
 
 def _run_scan_sharded_temporal_ar(sims, mesh, seed=None):

@@ -182,12 +182,42 @@ def test_sim_uids_unique():
     assert a._uid != b._uid
 
 
-def test_temporal_screens_scan_sharding_rejected(mesh8):
+def test_temporal_screens_scan_sharded(mesh8):
+    """Independent grown-grid screens-mode series shard over the scan
+    axis (VERDICT r4 #5 — was the last NotImplementedError in the
+    parallel layer): one frozen-flow series per configuration, finite,
+    temporally correlated, statistics matching a solo run."""
     mesh = parallel.make_scan_mesh(8, 1, devices=mesh8.devices.ravel())
+    zeniths = [30, 35, 40, 45, 50, 55, 60, 65]
     sims = [fast_tpu.Fast(make_test_params(
-        TEMPORAL=True, TEMPORAL_SYNTH="screens", NITER=40, NCHUNKS=4,
-        SEED=16)) for _ in range(8)]
-    with pytest.raises(NotImplementedError, match="screens"):
+        TEMPORAL=True, TEMPORAL_SYNTH="screens", NPXLS=128, NITER=400,
+        NCHUNKS=4, SEED=16, ZENITH_ANGLE=z)) for z in zeniths]
+    results = parallel.run_scan_sharded(sims, mesh)
+    assert len(results) == 8
+    for r in results:
+        x = np.asarray(r.power)
+        assert np.isfinite(x).all() and x.shape == (400,)
+        xc = x / x.mean() - 1
+        assert (xc[:-1] * xc[1:]).mean() / (xc * xc).mean() > 0.5
+
+    solo = fast_tpu.Fast(make_test_params(
+        TEMPORAL=True, TEMPORAL_SYNTH="screens", NPXLS=128, NITER=400,
+        NCHUNKS=4, SEED=91, ZENITH_ANGLE=55))
+    r_solo = np.asarray(solo.run().power) / solo.diffraction_limit
+    r_scan = np.asarray(results[5].power) / sims[5].diffraction_limit
+    assert abs(np.log(r_solo.mean() / r_scan.mean())) < 0.7
+
+    # warm repeat reuses the device-resident table cache
+    again = parallel.run_scan_sharded(sims, mesh, seed=17)
+    assert np.isfinite(np.asarray(again[0].power)).all()
+
+
+def test_temporal_screens_scan_mc_axis_rejected(mesh8):
+    mesh = parallel.make_scan_mesh(4, 2, devices=mesh8.devices.ravel())
+    sims = [fast_tpu.Fast(make_test_params(
+        TEMPORAL=True, TEMPORAL_SYNTH="screens", NPXLS=128, NITER=40,
+        NCHUNKS=4, SEED=16)) for _ in range(4)]
+    with pytest.raises(ValueError, match="mc axis"):
         parallel.run_scan_sharded(sims, mesh)
 
 
