@@ -670,7 +670,7 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
 def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
                                  out_ref, accr_ref, acci_ref, g_ref, *,
                                  m_tile, n_mb, precision, premixed=False,
-                                 probe_noprng=False):
+                                 probe_noprng=False, pipeline=False):
     """Merged-dot variant of :func:`_colfac_detect_kernel`.
 
     Identical algorithm and *identical random variables* (same PRNG seed
@@ -735,14 +735,30 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
     # alias in the trace cache.
     z_fixed = draw().astype(sdt) if probe_noprng else None
 
-    def col(m, _):
-        z = z_fixed if probe_noprng else draw().astype(sdt)
-        g = dot(z, s_ref[m])  # (b, 2P) = [G_r | G_i] for column m
-        g_ref[0, m] = g[:, :P].astype(gdt)
-        g_ref[1, m] = g[:, P:].astype(gdt)
-        return 0
+    if pipeline and not probe_noprng:
+        # software-pipelined variant (round-5 probe, VERDICT r4 #8):
+        # column m+1's PRNG draw (VPU) issues before column m's factor
+        # dot (MXU), giving the scheduler independent VPU/MXU work to
+        # overlap. Random variables are IDENTICAL per column (the stream
+        # order is unchanged: draw k still colors column k); the cost is
+        # one discarded tail draw per program (+1/m_tile PRNG work).
+        def col(m, z):
+            z_next = draw().astype(sdt)
+            g = dot(z, s_ref[m])  # (b, 2P) = [G_r | G_i] for column m
+            g_ref[0, m] = g[:, :P].astype(gdt)
+            g_ref[1, m] = g[:, P:].astype(gdt)
+            return z_next
 
-    jax.lax.fori_loop(0, m_tile, col, 0)
+        jax.lax.fori_loop(0, m_tile, col, draw().astype(sdt))
+    else:
+        def col(m, _):
+            z = z_fixed if probe_noprng else draw().astype(sdt)
+            g = dot(z, s_ref[m])  # (b, 2P) = [G_r | G_i] for column m
+            g_ref[0, m] = g[:, :P].astype(gdt)
+            g_ref[1, m] = g[:, P:].astype(gdt)
+            return 0
+
+        jax.lax.fori_loop(0, m_tile, col, 0)
 
     def dot_m(g, w):  # contract the leading (2m) axis
         return jax.lax.dot_general(
@@ -781,10 +797,12 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
 
 @functools.partial(jax.jit, static_argnames=("nbatch", "b_tile", "m_tile",
                                              "interpret", "precision",
-                                             "premixed", "probe_noprng"))
+                                             "premixed", "probe_noprng",
+                                             "pipeline"))
 def _colfac_detect_call_merged(seed, s, w3, pm, nbatch, b_tile, m_tile,
                                interpret=False, precision="default",
-                               sh=None, premixed=False, probe_noprng=False):
+                               sh=None, premixed=False, probe_noprng=False,
+                               pipeline=False):
     with jax.enable_x64(False):
         ncols = s.shape[0]
         P = s.shape[1] // 2
@@ -824,7 +842,7 @@ def _colfac_detect_call_merged(seed, s, w3, pm, nbatch, b_tile, m_tile,
         kern = functools.partial(
             _colfac_detect_kernel_merged, m_tile=m_tile, n_mb=n_mb,
             precision=_precision(precision), premixed=premixed,
-            probe_noprng=probe_noprng)
+            probe_noprng=probe_noprng, pipeline=pipeline)
 
         def _shim(seed_ref, s_ref, w3_ref, pm_ref, *rest):
             rest = list(rest)
