@@ -670,7 +670,8 @@ def _colfac_detect_call(seed, l2, w2, pm, nbatch, b_tile, m_tile,
 def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
                                  out_ref, accr_ref, acci_ref, g_ref, *,
                                  m_tile, n_mb, precision, premixed=False,
-                                 probe_noprng=False, pipeline=False):
+                                 probe_noprng=False, pipeline=False,
+                                 probe=None):
     """Merged-dot variant of :func:`_colfac_detect_kernel`.
 
     Identical algorithm and *identical random variables* (same PRNG seed
@@ -753,6 +754,11 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
     else:
         def col(m, _):
             z = z_fixed if probe_noprng else draw().astype(sdt)
+            if probe == "nodots":
+                # phase-budget probe: skip the factor dot (WRONG stats)
+                g_ref[0, m] = z[:, :P].astype(gdt)
+                g_ref[1, m] = z[:, P:].astype(gdt)
+                return 0
             g = dot(z, s_ref[m])  # (b, 2P) = [G_r | G_i] for column m
             g_ref[0, m] = g[:, :P].astype(gdt)
             g_ref[1, m] = g[:, P:].astype(gdt)
@@ -783,10 +789,17 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
         def reduce2(x):  # (b_tile, P, P) -> (b_tile, 1), all ops >= 2-D
             return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
 
-        c1r = reduce2(pm[None] * jnp.cos(phi1))
-        c1i = reduce2(pm[None] * jnp.sin(phi1))
-        c2r = reduce2(pm[None] * jnp.cos(phi2))
-        c2i = reduce2(pm[None] * jnp.sin(phi2))
+        if probe == "nodetect":
+            # phase-budget probe: linear reduction, no cos/sin (WRONG
+            # stats — isolates the transcendental detect cost)
+            c1r = reduce2(pm[None] * phi1)
+            c1i = reduce2(pm[None] * phi2)
+            c2r, c2i = c1r, c1i
+        else:
+            c1r = reduce2(pm[None] * jnp.cos(phi1))
+            c1i = reduce2(pm[None] * jnp.sin(phi1))
+            c2r = reduce2(pm[None] * jnp.cos(phi2))
+            c2i = reduce2(pm[None] * jnp.sin(phi2))
         lane = jax.lax.broadcasted_iota(jnp.int32, (b_tile, _LANE), 1)
         packed = (jnp.where(lane == 0, c1r, 0.0)
                   + jnp.where(lane == 1, c1i, 0.0)
@@ -798,11 +811,11 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
 @functools.partial(jax.jit, static_argnames=("nbatch", "b_tile", "m_tile",
                                              "interpret", "precision",
                                              "premixed", "probe_noprng",
-                                             "pipeline"))
+                                             "pipeline", "probe"))
 def _colfac_detect_call_merged(seed, s, w3, pm, nbatch, b_tile, m_tile,
                                interpret=False, precision="default",
                                sh=None, premixed=False, probe_noprng=False,
-                               pipeline=False):
+                               pipeline=False, probe=None):
     with jax.enable_x64(False):
         ncols = s.shape[0]
         P = s.shape[1] // 2
@@ -842,7 +855,7 @@ def _colfac_detect_call_merged(seed, s, w3, pm, nbatch, b_tile, m_tile,
         kern = functools.partial(
             _colfac_detect_kernel_merged, m_tile=m_tile, n_mb=n_mb,
             precision=_precision(precision), premixed=premixed,
-            probe_noprng=probe_noprng, pipeline=pipeline)
+            probe_noprng=probe_noprng, pipeline=pipeline, probe=probe)
 
         def _shim(seed_ref, s_ref, w3_ref, pm_ref, *rest):
             rest = list(rest)

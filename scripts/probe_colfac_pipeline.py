@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--reps", type=int, default=7)
     ap.add_argument("--b-tile", type=int, default=None)
     ap.add_argument("--m-tile", type=int, default=None)
+    ap.add_argument("--phases", action="store_true",
+                    help="also time the phase-budget variants "
+                         "(noprng/nodots/nodetect)")
     args = ap.parse_args()
 
     import bench
@@ -70,16 +73,26 @@ def main():
     print(f"# tile ({bt}, {mt}), nb={nb}, P={P}, precision={precision}, "
           f"noise={noise}")
 
-    def make(pipe):
+    def make(pipe=False, noprng=False, probe=None):
         @jax.jit
         def run(seed, l2, w3):
             return pallas_synth._colfac_detect_call_merged(
                 jnp.asarray(seed, jnp.int32).reshape(1), l2, w3,
                 jnp.asarray(pm), nb, bt, mt, precision=precision,
-                premixed=(noise == "mixed"), pipeline=pipe)
+                premixed=(noise == "mixed"), pipeline=pipe,
+                probe_noprng=noprng, probe=probe)
         return run
 
-    fns = {"production": make(False), "pipelined": make(True)}
+    fns = {"production": make(), "pipelined": make(pipe=True)}
+    if args.phases:
+        # phase-budget variants (all statistically WRONG except
+        # production): the deltas bound each phase's share of the
+        # kernel wall — noprng hoists the per-column draw, nodots skips
+        # the factor dot, nodetect replaces cos/sin with a linear
+        # reduction
+        fns["noprng"] = make(noprng=True)
+        fns["nodots"] = make(probe="nodots")
+        fns["nodetect"] = make(probe="nodetect")
     # value identity: same seed -> same couplings (the pipelined loop
     # consumes the identical PRNG stream per column)
     outs = {k: np.asarray(f(123, *tabs)) for k, f in fns.items()}
@@ -101,6 +114,13 @@ def main():
               f"{n_real / best[k] / 1e3:9.1f}k r/s")
     ratio = best["production"] / best["pipelined"]
     print(f"# pipelined/production speedup: {ratio:.3f}x")
+    if args.phases:
+        t = best["production"]
+        print(f"# phase budget (of {t*1e3:.1f} ms): "
+              f"prng ~{(t - best['noprng'])/t:5.1%}  "
+              f"factor dots ~{(t - best['nodots'])/t:5.1%}  "
+              f"detect cos/sin ~{(t - best['nodetect'])/t:5.1%}  "
+              f"(residual = contraction dot + acc traffic)")
     return 0
 
 
