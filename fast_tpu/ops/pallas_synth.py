@@ -68,6 +68,53 @@ def _precision(name):
     return _PRECISIONS[name]
 
 
+# π/2 split into three float32 pieces (Cody–Waite): the hi/mid pieces
+# have short mantissas, so q * piece is exact for |q| ≲ 2^13 and the
+# reduction error is ~|q| * ulp(lo) — negligible for the O(10¹)-rad
+# residual-phase screens this package detects.
+_TWO_OVER_PI = np.float32(0.6366197723675814)
+_PIO2_HI = np.float32(1.5703125)
+_PIO2_MID = np.float32(4.837512969970703e-4)
+_PIO2_LO = np.float32(7.549789948768648e-8)
+
+
+def _sincos(phi):
+    """``(sin(phi), cos(phi))`` with ONE shared argument reduction.
+
+    ``jnp.sin`` and ``jnp.cos`` each run their own range reduction on
+    the VPU, and the detect stage needs both for the same phase map —
+    the round-5 phase-budget probe (BASELINE.md) measured the pair at
+    ~39% of the record kernel's wall, the largest single phase. This
+    fused evaluation reduces ``phi`` to r ∈ [-π/4, π/4] once (3-term
+    Cody–Waite, accurate for |phi| ≲ 2^13 rad), evaluates the two
+    minimax polynomials (cephes sinf/cosf coefficients, ~1 ulp on the
+    reduced range), and swaps/negates by quadrant with integer lane
+    ops (two's complement makes the mod-4 quadrant logic sign-correct).
+    Accuracy vs float64 numpy: max |Δ| ≲ 1e-6 over |phi| ≤ 4096
+    (tests/test_ops.py::test_fused_sincos).
+    """
+    q = jnp.round(phi * _TWO_OVER_PI)
+    r = phi - q * _PIO2_HI
+    r = r - q * _PIO2_MID
+    r = r - q * _PIO2_LO
+    r2 = r * r
+    s = r + r * r2 * (np.float32(-1.6666654611e-1)
+                      + r2 * (np.float32(8.3321608736e-3)
+                              + r2 * np.float32(-1.9515295891e-4)))
+    c = 1.0 + r2 * (np.float32(-0.5)
+                    + r2 * (np.float32(4.166664568298827e-2)
+                            + r2 * (np.float32(-1.388731625493765e-3)
+                                    + r2 * np.float32(2.443315711809948e-5))))
+    qi = q.astype(jnp.int32)
+    swap = (qi & 1) == 1
+    sin_v = jnp.where(swap, c, s)
+    cos_v = jnp.where(swap, s, c)
+    neg_s = (qi & 2) == 2
+    neg_c = ((qi + 1) & 2) == 2
+    return (jnp.where(neg_s, -sin_v, sin_v),
+            jnp.where(neg_c, -cos_v, cos_v))
+
+
 def _round_up(x, m):
     return -(-x // m) * m
 
@@ -144,8 +191,9 @@ def _synth_kernel(seed_ref, s_ref, wr_ref, wi_ref, or_ref, oi_ref, *,
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = (2.0 * np.pi) * u2
     s = s_ref[:]
-    xr = r * jnp.cos(theta) * s
-    xi = r * jnp.sin(theta) * s
+    st, ct = _sincos(theta)
+    xr = r * ct * s
+    xi = r * st * s
 
     wr = wr_ref[:]
     wi = wi_ref[:]
@@ -291,8 +339,9 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
         u2 = i2.astype(jnp.float32) * (2.0 ** -24)
         r = jnp.sqrt(-2.0 * jnp.log(u1))
         theta = (2.0 * np.pi) * u2
-        z1 = r * jnp.cos(theta)
-        z2 = r * jnp.sin(theta)
+        st, ct = _sincos(theta)
+        z1 = r * ct
+        z2 = r * st
     xr = z1 * s
     xi = z2 * s
 
@@ -313,10 +362,12 @@ def _synth_detect_kernel(seed_ref, s_ref, wr_ref, wi_ref, pm_ref,
         if subharm:
             h1 = h1 + sh_ref[j, 0]
             h2 = h2 + sh_ref[j, 1]
-        packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(h1)), 0.0)
-                  + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(h1)), 0.0)
-                  + jnp.where(lane == 2, jnp.sum(pm * jnp.cos(h2)), 0.0)
-                  + jnp.where(lane == 3, jnp.sum(pm * jnp.sin(h2)), 0.0))
+        s1, c1 = _sincos(h1)
+        s2, c2 = _sincos(h2)
+        packed = (jnp.where(lane == 0, jnp.sum(pm * c1), 0.0)
+                  + jnp.where(lane == 1, jnp.sum(pm * s1), 0.0)
+                  + jnp.where(lane == 2, jnp.sum(pm * c2), 0.0)
+                  + jnp.where(lane == 3, jnp.sum(pm * s2), 0.0))
         out_ref[j] = packed
 
 
@@ -527,7 +578,8 @@ def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
         u2 = i2.astype(jnp.float32) * (2.0 ** -24)
         r = jnp.sqrt(-2.0 * jnp.log(u1))
         theta = (2.0 * np.pi) * u2
-        return r * jnp.cos(theta), r * jnp.sin(theta)
+        st, ct = _sincos(theta)
+        return r * ct, r * st
 
     def dot_t(a, b):  # a @ b.T
         return jax.lax.dot_general(
@@ -577,10 +629,12 @@ def _colfac_detect_kernel(seed_ref, lr_ref, li_ref, wr_ref, wi_ref, pm_ref,
         def reduce2(x):  # (b_tile, P, P) -> (b_tile, 1), all ops >= 2-D
             return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
 
-        c1r = reduce2(pm[None] * jnp.cos(phi1))
-        c1i = reduce2(pm[None] * jnp.sin(phi1))
-        c2r = reduce2(pm[None] * jnp.cos(phi2))
-        c2i = reduce2(pm[None] * jnp.sin(phi2))
+        s1, co1 = _sincos(phi1)
+        s2, co2 = _sincos(phi2)
+        c1r = reduce2(pm[None] * co1)
+        c1i = reduce2(pm[None] * s1)
+        c2r = reduce2(pm[None] * co2)
+        c2i = reduce2(pm[None] * s2)
         lane = jax.lax.broadcasted_iota(jnp.int32, (b_tile, _LANE), 1)
         packed = (jnp.where(lane == 0, c1r, 0.0)
                   + jnp.where(lane == 1, c1i, 0.0)
@@ -671,7 +725,7 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
                                  out_ref, accr_ref, acci_ref, g_ref, *,
                                  m_tile, n_mb, precision, premixed=False,
                                  probe_noprng=False, pipeline=False,
-                                 probe=None):
+                                 probe=None, fast_sincos=True):
     """Merged-dot variant of :func:`_colfac_detect_kernel`.
 
     Identical algorithm and *identical random variables* (same PRNG seed
@@ -721,8 +775,9 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
             u2 = i2.astype(jnp.float32) * (2.0 ** -24)
             r = jnp.sqrt(-2.0 * jnp.log(u1))
             theta = (2.0 * np.pi) * u2
-            z1 = r * jnp.cos(theta)
-            z2 = r * jnp.sin(theta)
+            st, ct = _sincos(theta)
+            z1 = r * ct
+            z2 = r * st
         return jnp.concatenate([z1, z2], axis=1)  # (b, 2P) = [z_r | z_i]
 
     sdt = s_ref.dtype
@@ -795,7 +850,17 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
             c1r = reduce2(pm[None] * phi1)
             c1i = reduce2(pm[None] * phi2)
             c2r, c2i = c1r, c1i
+        elif fast_sincos:
+            s1, co1 = _sincos(phi1)
+            s2, co2 = _sincos(phi2)
+            c1r = reduce2(pm[None] * co1)
+            c1i = reduce2(pm[None] * s1)
+            c2r = reduce2(pm[None] * co2)
+            c2i = reduce2(pm[None] * s2)
         else:
+            # legacy jnp detect, kept for A/B probing only: measured
+            # 1.34x slower than the fused _sincos at the record tile
+            # (scripts/probe_colfac_pipeline.py, BASELINE.md round 5)
             c1r = reduce2(pm[None] * jnp.cos(phi1))
             c1i = reduce2(pm[None] * jnp.sin(phi1))
             c2r = reduce2(pm[None] * jnp.cos(phi2))
@@ -811,11 +876,13 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
 @functools.partial(jax.jit, static_argnames=("nbatch", "b_tile", "m_tile",
                                              "interpret", "precision",
                                              "premixed", "probe_noprng",
-                                             "pipeline", "probe"))
+                                             "pipeline", "probe",
+                                             "fast_sincos"))
 def _colfac_detect_call_merged(seed, s, w3, pm, nbatch, b_tile, m_tile,
                                interpret=False, precision="default",
                                sh=None, premixed=False, probe_noprng=False,
-                               pipeline=False, probe=None):
+                               pipeline=False, probe=None,
+                               fast_sincos=True):
     with jax.enable_x64(False):
         ncols = s.shape[0]
         P = s.shape[1] // 2
@@ -855,7 +922,8 @@ def _colfac_detect_call_merged(seed, s, w3, pm, nbatch, b_tile, m_tile,
         kern = functools.partial(
             _colfac_detect_kernel_merged, m_tile=m_tile, n_mb=n_mb,
             precision=_precision(precision), premixed=premixed,
-            probe_noprng=probe_noprng, pipeline=pipeline, probe=probe)
+            probe_noprng=probe_noprng, pipeline=pipeline, probe=probe,
+            fast_sincos=fast_sincos)
 
         def _shim(seed_ref, s_ref, w3_ref, pm_ref, *rest):
             rest = list(rest)
@@ -977,8 +1045,9 @@ def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
                 u2 = i2.astype(jnp.float32) * (2.0 ** -24)
                 r = jnp.sqrt(-2.0 * jnp.log(u1))
                 theta = (2.0 * np.pi) * u2
-                z1 = r * jnp.cos(theta)
-                z2 = r * jnp.sin(theta)
+                st, ct = _sincos(theta)
+                z1 = r * ct
+                z2 = r * st
             nr = nr + z1 * ns
             ni = ni + z2 * ns
 
@@ -1003,8 +1072,9 @@ def _ar_flow_kernel(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
         gik = GI[:, k * N:(k + 1) * N]
         # the series is the *real* part of the complex screen
         phi = dot_t(grk, wr) - dot_t(gik, wi)
-        packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi)), 0.0)
-                  + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi)), 0.0))
+        sp, cp = _sincos(phi)
+        packed = (jnp.where(lane == 0, jnp.sum(pm * cp), 0.0)
+                  + jnp.where(lane == 1, jnp.sum(pm * sp), 0.0))
         out_ref[k] = packed
 
     @pl.when(t == ngrid - 1)
@@ -1202,8 +1272,9 @@ def _ar_flow_kernel_batch(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
                 u2 = i2.astype(jnp.float32) * (2.0 ** -24)
                 r = jnp.sqrt(-2.0 * jnp.log(u1))
                 theta = (2.0 * np.pi) * u2
-                z1 = r * jnp.cos(theta)
-                z2 = r * jnp.sin(theta)
+                st, ct = _sincos(theta)
+                z1 = r * ct
+                z2 = r * st
             nr = nr + z1 * ns
             ni = ni + z2 * ns
         # per-series layer sums via static row slices
@@ -1231,8 +1302,9 @@ def _ar_flow_kernel_batch(seed_ref, a0_ref, ph_ref, ns_ref, wr_ref, wi_ref,
             gik = GI[:, j * N:(j + 1) * N]
             phi = dot_t(grk, wr) - dot_t(gik, wi)
             pm = pm_ref[s]
-            packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi)), 0.0)
-                      + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi)),
+            sp, cp = _sincos(phi)
+            packed = (jnp.where(lane == 0, jnp.sum(pm * cp), 0.0)
+                      + jnp.where(lane == 1, jnp.sum(pm * sp),
                                   0.0))
             out_ref[k, s] = packed
 
@@ -1705,8 +1777,9 @@ def _ar_stream_kernel(scal_ref, st_ref, ph_ref, ns_ref, wr_ref, wi_ref,
                 u2 = i2.astype(jnp.float32) * (2.0 ** -24)
                 r = jnp.sqrt(-2.0 * jnp.log(u1))
                 theta = (2.0 * np.pi) * u2
-                z1 = r * jnp.cos(theta)
-                z2 = r * jnp.sin(theta)
+                st, ct = _sincos(theta)
+                z1 = r * ct
+                z2 = r * st
             nr = nr + z1 * ns
             ni = ni + z2 * ns
         Ar = nr[0:N]
@@ -1739,8 +1812,9 @@ def _ar_stream_kernel(scal_ref, st_ref, ph_ref, ns_ref, wr_ref, wi_ref,
             grk = GR[:, k * N:(k + 1) * N]
             gik = GI[:, k * N:(k + 1) * N]
             phi = dot_t(grk, wr) - dot_t(gik, wi)
-            packed = (jnp.where(lane == 0, jnp.sum(pm * jnp.cos(phi)), 0.0)
-                      + jnp.where(lane == 1, jnp.sum(pm * jnp.sin(phi)),
+            sp, cp = _sincos(phi)
+            packed = (jnp.where(lane == 0, jnp.sum(pm * cp), 0.0)
+                      + jnp.where(lane == 1, jnp.sum(pm * sp),
                                   0.0))
             out_ref[k] = packed
 

@@ -73,17 +73,21 @@ def main():
     print(f"# tile ({bt}, {mt}), nb={nb}, P={P}, precision={precision}, "
           f"noise={noise}")
 
-    def make(pipe=False, noprng=False, probe=None):
+    def make(pipe=False, noprng=False, probe=None, fast_sincos=True):
         @jax.jit
         def run(seed, l2, w3):
             return pallas_synth._colfac_detect_call_merged(
                 jnp.asarray(seed, jnp.int32).reshape(1), l2, w3,
                 jnp.asarray(pm), nb, bt, mt, precision=precision,
                 premixed=(noise == "mixed"), pipeline=pipe,
-                probe_noprng=noprng, probe=probe)
+                probe_noprng=noprng, probe=probe,
+                fast_sincos=fast_sincos)
         return run
 
-    fns = {"production": make(), "pipelined": make(pipe=True)}
+    # production now uses the fused sincos detect (round 5); 'legacy'
+    # is the pre-round-5 jnp.cos/jnp.sin detect kept for A/B
+    fns = {"production": make(), "pipelined": make(pipe=True),
+           "legacy_sincos": make(fast_sincos=False)}
     if args.phases:
         # phase-budget variants (all statistically WRONG except
         # production): the deltas bound each phase's share of the
@@ -99,6 +103,13 @@ def main():
     dmax = np.abs(outs["production"] - outs["pipelined"]).max()
     rel = dmax / max(1e-30, np.abs(outs["production"]).max())
     print(f"# value identity: max |d| = {dmax:.3e} (rel {rel:.2e})")
+    # the legacy jnp.cos/sin detect is statistically EXACT vs production
+    # (same random variables, same phases) but numerically ~1 ulp
+    # different per cos/sin evaluation; report the coupling-level
+    # deviation, which should be tiny vs the coupling scale
+    dfs = np.abs(outs["production"] - outs["legacy_sincos"]).max()
+    rfs = dfs / max(1e-30, np.abs(outs["production"]).max())
+    print(f"# legacy-sincos deviation: max |d| = {dfs:.3e} (rel {rfs:.2e})")
 
     best = {k: np.inf for k in fns}
     for rep in range(args.reps):

@@ -163,3 +163,36 @@ class TestApertures:
         g, opt = apertures.optimize_fibre(pup, dx, return_size=True)
         # optimal gaussian ~ 0.45 * D for an unobscured circular aperture
         assert 0.2 < opt < 0.6
+
+
+class TestFusedSincos:
+    """The Pallas detect-stage fused sincos vs float64 numpy.
+
+    One shared Cody–Waite reduction feeds both polynomials; accuracy
+    must match library sin/cos (~1 ulp) over the documented domain
+    |phi| <= 2^12 rad (residual-phase screens are O(10) rad).
+    """
+
+    def test_accuracy_across_magnitudes(self):
+        import jax
+        from fast_tpu.ops.pallas_synth import _sincos
+        rng = np.random.default_rng(7)
+        fn = jax.jit(_sincos)
+        for scale in (1.0, 30.0, 1000.0, 4096.0):
+            phi = (rng.uniform(-1, 1, 100000) * scale).astype(np.float32)
+            s, c = fn(jnp.asarray(phi))
+            ref_s = np.sin(phi.astype(np.float64))
+            ref_c = np.cos(phi.astype(np.float64))
+            assert np.abs(np.asarray(s, np.float64) - ref_s).max() < 2e-7
+            assert np.abs(np.asarray(c, np.float64) - ref_c).max() < 2e-7
+
+    def test_quadrant_boundaries(self):
+        import jax
+        from fast_tpu.ops.pallas_synth import _sincos
+        k = np.arange(-64, 65)
+        phi = (k * (np.pi / 2)).astype(np.float32)
+        s, c = jax.jit(_sincos)(jnp.asarray(phi))
+        np.testing.assert_allclose(np.asarray(s), np.sin(phi.astype(np.float64)),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(c), np.cos(phi.astype(np.float64)),
+                                   atol=1e-5)
