@@ -31,14 +31,17 @@ def test_run_output_finite_guard():
         sim.run()
 
 
-def test_temporal_progress_warns(caplog):
+def test_temporal_progress_no_longer_warns(caplog):
+    """Round 5 implemented temporal-mode progress (VERDICT r4 #9): the
+    round-3 'progress ignored in temporal mode' warning must be gone.
+    Behavioural coverage lives in test_temporal.py::test_temporal_progress_bar."""
     p = make_test_params(NPXLS=64, DX=0.05, NITER=20, NCHUNKS=2,
                          TEMPORAL=True, TEMPORAL_SYNTH="ar")
     sim = fast_tpu.Fast(p)
     with caplog.at_level(logging.WARNING, logger="fast_tpu.engine"):
         res = sim.run(progress=True)
     assert np.isfinite(res.power).all()
-    assert any("progress" in r.message for r in caplog.records)
+    assert not any("progress" in r.message for r in caplog.records)
 
 
 def test_compute_phs_temporal_reflects_ar_path():
