@@ -826,11 +826,25 @@ def _colfac_detect_kernel_merged(seed_ref, s_ref, w3_ref, pm_ref, sh_ref,
             g, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision)
 
-    g2 = g_ref[...].reshape(2 * m_tile, b_tile * P)
-    w = w3_ref[...].reshape(2 * m_tile, 2 * P)  # rows: [wr|wi], [-wi|wr]
-    pp = dot_m(g2, w)  # (b*P, 2P) = [screens_r | screens_i]
-    accr_ref[...] += pp[:, :P].reshape(b_tile, P, P)
-    acci_ref[...] += pp[:, P:].reshape(b_tile, P, P)
+    if probe == "nocontract":
+        # phase-budget probe: skip the K=2m contraction dot AND the
+        # accumulator update entirely (WRONG stats — detect sees zeros).
+        # Bounds contraction dot + full acc RMW together; pair with
+        # 'noacc' to split the two.
+        pass
+    else:
+        g2 = g_ref[...].reshape(2 * m_tile, b_tile * P)
+        w = w3_ref[...].reshape(2 * m_tile, 2 * P)  # rows: [wr|wi], [-wi|wr]
+        pp = dot_m(g2, w)  # (b*P, 2P) = [screens_r | screens_i]
+        if probe == "noacc":
+            # phase-budget probe: overwrite instead of accumulate (WRONG
+            # stats — only the last column block survives). Isolates the
+            # accumulator *read* traffic of the read-modify-write.
+            accr_ref[...] = pp[:, :P].reshape(b_tile, P, P)
+            acci_ref[...] = pp[:, P:].reshape(b_tile, P, P)
+        else:
+            accr_ref[...] += pp[:, :P].reshape(b_tile, P, P)
+            acci_ref[...] += pp[:, P:].reshape(b_tile, P, P)
 
     @pl.when(mb == n_mb - 1)
     def _detect():

@@ -97,6 +97,12 @@ def main():
         fns["noprng"] = make(noprng=True)
         fns["nodots"] = make(probe="nodots")
         fns["nodetect"] = make(probe="nodetect")
+        # round-5 residual split: nocontract deletes the K=2m contraction
+        # dot AND the acc update; noacc keeps the dot but overwrites
+        # instead of read-modify-write. (nocontract - noacc) bounds the
+        # dot; (noacc - production) bounds the acc read traffic.
+        fns["nocontract"] = make(probe="nocontract")
+        fns["noacc"] = make(probe="noacc")
     # value identity: same seed -> same couplings (the pipelined loop
     # consumes the identical PRNG stream per column)
     outs = {k: np.asarray(f(123, *tabs)) for k, f in fns.items()}
@@ -132,6 +138,10 @@ def main():
               f"factor dots ~{(t - best['nodots'])/t:5.1%}  "
               f"detect cos/sin ~{(t - best['nodetect'])/t:5.1%}  "
               f"(residual = contraction dot + acc traffic)")
+        print(f"# residual split: contraction dot "
+              f"~{(best['noacc'] - best['nocontract'])/t:5.1%}  "
+              f"acc read (RMW) ~{(t - best['noacc'])/t:5.1%}  "
+              f"contract+acc total ~{(t - best['nocontract'])/t:5.1%}")
     return 0
 
 
