@@ -360,47 +360,45 @@ def main():
         round(r256["best"], 1)
 
     # Sustained: the same workload with the chunk loop ON DEVICE
-    # (lax.scan over 16 chunks of the same per-chunk shape) — one
-    # dispatch per 262k realizations. The committed trace
-    # (docs/traces/, BASELINE.md round 4) shows the kernel needs
-    # 13.4 ms per 16k chunk while a single-chunk dispatch costs ~25 ms
-    # wall through the axon relay; chunking on device amortises the
-    # ~12 ms relay latency and is how production runs execute.
-    print("# 256^2 iid sustained (64-chunk on-device loop)",
+    # (lax.scan over chunks of the same per-chunk shape). The round-5
+    # dispatch-overhead fit (scripts/probe_dispatch_overhead.py,
+    # BASELINE.md) measured wall = 31.8 ms/dispatch + 8.88 ms/chunk —
+    # the per-chunk slope matches the committed 99.81%-occupancy trace
+    # to 0.05%, so chunks-per-dispatch is the ONLY wall lever left.
+    print("# 256^2 iid sustained (256-chunk on-device loop)",
           file=sys.stderr)
-    # 64 chunks = 1M realizations (~0.86 s device) per dispatch: relay
-    # latency falls to ~1.5% and the run-to-run median stabilises
-    # (measured 927k median vs 835k at 16 chunks in the same window)
+    # 256 chunks = 4.19M realizations (~2.3 s device) per dispatch:
+    # relay latency falls to ~1.4% and a single dispatch measured
+    # 1.819M r/s wall vs 1.742M at 64 chunks in the same window
     sim_sus = fast_tpu.Fast(g._flagship_params(
-        npxls=256, niter=64 * NITER, nchunks=64, RNG="rbg", SYNTH=synth))
-    r_sus = measure_rps(sim_sus, 64 * NITER, rep_sets=6, reps=1)
+        npxls=256, niter=256 * NITER, nchunks=256, RNG="rbg", SYNTH=synth))
+    r_sus = measure_rps(sim_sus, 256 * NITER, rep_sets=6, reps=1)
     _PARTIAL["best256"] = max(_PARTIAL["best256"], r_sus["best"])
-    _PARTIAL["secondary"]["sustained_rps_256sq_64chunk"] = \
+    _PARTIAL["secondary"]["sustained_rps_256sq_256chunk"] = \
         round(r_sus["best"], 1)
 
-    print("# 256^2 default config (SYNTH='auto', 64-chunk sustained)",
+    print("# 256^2 default config (SYNTH='auto', 256-chunk sustained)",
           file=sys.stderr)
     sim_def = fast_tpu.Fast(g._flagship_params(
-        npxls=256, niter=64 * NITER, nchunks=64))
-    r_def = measure_rps(sim_def, 64 * NITER, rep_sets=3, reps=1)
+        npxls=256, niter=256 * NITER, nchunks=256))
+    r_def = measure_rps(sim_def, 256 * NITER, rep_sets=3, reps=1)
     _PARTIAL["secondary"]["default_config_rps_256sq"] = \
         round(r_def["best"], 1)
 
-    print("# 512^2 iid (64-chunk sustained)", file=sys.stderr)
-    # 524k realizations per dispatch (~0.6 s device) — interleaved A/B
-    # vs 32 chunks (round-4 continuation): best +3.9%, median +6.3%,
-    # and the per-set spread collapses (worst set 698k vs 531k)
+    print("# 512^2 iid (256-chunk sustained)", file=sys.stderr)
+    # 2.1M realizations per dispatch (~2.2 s device): the 31.8 ms
+    # dispatch overhead falls from ~5.5% (64 chunks) to ~1.4%
     sim512 = fast_tpu.Fast(g._flagship_params(
-        npxls=512, niter=524288, nchunks=64, RNG="rbg", SYNTH=synth))
-    r512 = measure_rps(sim512, 524288, rep_sets=4, reps=1)
+        npxls=512, niter=2097152, nchunks=256, RNG="rbg", SYNTH=synth))
+    r512 = measure_rps(sim512, 2097152, rep_sets=4, reps=1)
     _PARTIAL["secondary"]["mc_realizations_per_sec_512sq_chip"] = \
         round(r512["best"], 1)
 
-    print("# 512^2 default config (SYNTH='auto', 64-chunk sustained)",
+    print("# 512^2 default config (SYNTH='auto', 256-chunk sustained)",
           file=sys.stderr)
     sim_def512 = fast_tpu.Fast(g._flagship_params(
-        npxls=512, niter=524288, nchunks=64))
-    r_def512 = measure_rps(sim_def512, 524288, rep_sets=3, reps=1)
+        npxls=512, niter=2097152, nchunks=256))
+    r_def512 = measure_rps(sim_def512, 2097152, rep_sets=3, reps=1)
     _PARTIAL["secondary"]["default_config_rps_512sq"] = \
         round(r_def512["best"], 1)
 
@@ -419,11 +417,13 @@ def main():
     print("# 1024^2 default config (SYNTH='auto' -> fused, 4 m pupil)",
           file=sys.stderr)
     # what a user gets at this grid: the fused kernel needs no factor
-    # stack (no 24 s init) and measured 4.2x the colfac fallback
+    # stack (no 24 s init) and measured 4.2x the colfac fallback.
+    # 16 chunks (~1.3 s device/dispatch) cuts dispatch overhead from
+    # ~10% at 4 chunks to ~2.5% (round-5 overhead fit)
     sim_def1k = fast_tpu.Fast(g._flagship_params(
-        npxls=1024, niter=8192, nchunks=4, RNG="rbg",
+        npxls=1024, niter=32768, nchunks=16, RNG="rbg",
         D_GROUND=4.0, DSUBAP=0.5))
-    r_def1k = measure_rps(sim_def1k, 8192, rep_sets=3, reps=1)
+    r_def1k = measure_rps(sim_def1k, 32768, rep_sets=3, reps=1)
     _PARTIAL["secondary"]["default_config_rps_1024sq"] = \
         round(r_def1k["best"], 1)
 
@@ -435,16 +435,16 @@ def main():
     _PARTIAL["secondary"]["temporal_ar_steps_per_sec_256sq"] = \
         round(r_t["best"], 1)
 
-    # sustained: one dispatch per 131k-step series — long fading series
-    # are the production shape, and the committed AR trace shows the
-    # kernel needs 28.7 ms/16k steps while a dispatch costs ~30 ms of
-    # relay/draw overhead regardless of length
-    print("# 256^2 temporal AR sustained (131k-step series)",
+    # sustained: one dispatch per 524k-step series — long fading series
+    # are the production shape, and the round-5 overhead fit says a
+    # dispatch costs ~32 ms regardless of length: at 131k steps that
+    # was ~13% of wall, at 524k it is ~3%
+    print("# 256^2 temporal AR sustained (524k-step series)",
           file=sys.stderr)
     sim_ts = fast_tpu.Fast(g._flagship_params(
-        npxls=256, niter=131072, nchunks=512, RNG="rbg", TEMPORAL=True,
+        npxls=256, niter=524288, nchunks=2048, RNG="rbg", TEMPORAL=True,
         TEMPORAL_SYNTH="ar", DT=0.001))
-    r_ts = measure_rps(sim_ts, 131072, rep_sets=4, reps=1, temporal=True)
+    r_ts = measure_rps(sim_ts, 524288, rep_sets=4, reps=1, temporal=True)
     _PARTIAL["secondary"]["temporal_ar_steps_per_sec_256sq_sustained"] = \
         round(r_ts["best"], 1)
 
@@ -526,7 +526,7 @@ def main():
         "unit": "realizations/s",
         "vs_baseline": round(best256 / ref_rps, 1),
         "secondary": {
-            "sustained_rps_256sq_64chunk": round(r_sus["best"], 1),
+            "sustained_rps_256sq_256chunk": round(r_sus["best"], 1),
             "per_dispatch_rps_256sq": round(r256["best"], 1),
             "mc_realizations_per_sec_512sq_chip": round(r512["best"], 1),
             "mc_realizations_per_sec_1024sq_chip": round(r1k["best"], 1),
